@@ -1,0 +1,316 @@
+"""Vectorised Z_P arithmetic over uint32 limb pairs, P = 2^64 - 2^32 + 1.
+
+TPU-native replacement for the reference's inline-PTX scalar ops
+(cuhe/ModP.h:40-289).  TPUs have no 64-bit integer units, so a Z_P element is
+carried as a pair (lo, hi) of uint32 arrays; widening 32x32 multiplies are
+synthesised from 16-bit halves on the VPU.  The identities used throughout
+(same math as ModP.h, re-derived for limb pairs):
+
+    2^64 ≡ 2^32 - 1   (mod P)
+    2^96 ≡ -1         (mod P)
+
+All public ops take/return *canonical* values in [0, P) unless noted.  A
+"pair" is a tuple (lo, hi) of equal-shaped uint32 jax arrays.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+P = 0xFFFFFFFF00000001
+P_LO = jnp.uint32(1)
+P_HI = jnp.uint32(0xFFFFFFFF)
+MASK32 = jnp.uint32(0xFFFFFFFF)
+_U32 = jnp.uint32
+
+
+def u32(x):
+    return jnp.asarray(x, dtype=jnp.uint32)
+
+
+# ---------------------------------------------------------------------------
+# host <-> pair conversion helpers (numpy; for tables and tests)
+# ---------------------------------------------------------------------------
+
+def pair_from_u64(x: np.ndarray):
+    x = np.asarray(x, dtype=np.uint64)
+    lo = (x & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi = (x >> np.uint64(32)).astype(np.uint32)
+    return jnp.asarray(lo), jnp.asarray(hi)
+
+
+def u64_from_pair(lo, hi) -> np.ndarray:
+    lo = np.asarray(lo, dtype=np.uint64)
+    hi = np.asarray(hi, dtype=np.uint64)
+    return lo | (hi << np.uint64(32))
+
+
+# ---------------------------------------------------------------------------
+# 64-bit primitive ops on uint32 pairs
+# ---------------------------------------------------------------------------
+
+def _carry(s, a):
+    """Carry bit of s = a + b computed mod 2^32."""
+    return (s < a).astype(jnp.uint32)
+
+
+def add64(a, b):
+    """(a + b) mod 2^64, plus carry-out bit."""
+    alo, ahi = a
+    blo, bhi = b
+    lo = alo + blo
+    c0 = _carry(lo, alo)
+    hi1 = ahi + bhi
+    c1 = _carry(hi1, ahi)
+    hi = hi1 + c0
+    c2 = _carry(hi, hi1)
+    return (lo, hi), c1 | c2
+
+
+def sub64(a, b):
+    """(a - b) mod 2^64, plus borrow-out bit."""
+    alo, ahi = a
+    blo, bhi = b
+    lo = alo - blo
+    b0 = (alo < blo).astype(jnp.uint32)
+    hi1 = ahi - bhi
+    b1 = (ahi < bhi).astype(jnp.uint32)
+    hi = hi1 - b0
+    b2 = (hi1 < b0).astype(jnp.uint32)
+    return (lo, hi), b1 | b2
+
+
+def mul32(a, b):
+    """Full 32x32 -> 64 product as a pair (built from 16-bit halves)."""
+    a = u32(a)
+    b = u32(b)
+    al = a & jnp.uint32(0xFFFF)
+    ah = a >> jnp.uint32(16)
+    bl = b & jnp.uint32(0xFFFF)
+    bh = b >> jnp.uint32(16)
+    ll = al * bl
+    lh = al * bh
+    hl = ah * bl
+    hh = ah * bh
+    mid = lh + hl
+    cmid = _carry(mid, lh)
+    lo = ll + (mid << jnp.uint32(16))
+    clo = _carry(lo, ll)
+    hi = hh + (mid >> jnp.uint32(16)) + (cmid << jnp.uint32(16)) + clo
+    return lo, hi
+
+
+def mul64(a, b):
+    """Full 64x64 -> 128 product as four uint32 words (w0..w3, LE)."""
+    alo, ahi = a
+    blo, bhi = b
+    l00, h00 = mul32(alo, blo)
+    l01, h01 = mul32(alo, bhi)
+    l10, h10 = mul32(ahi, blo)
+    l11, h11 = mul32(ahi, bhi)
+    w0 = l00
+    # w1 = h00 + l01 + l10
+    t = h00 + l01
+    c1 = _carry(t, h00)
+    w1 = t + l10
+    c2 = _carry(w1, t)
+    carry1 = c1 + c2
+    # w2 = h01 + h10 + l11 + carry1
+    s = h01 + h10
+    c3 = _carry(s, h01)
+    s2 = s + l11
+    c4 = _carry(s2, s)
+    w2 = s2 + carry1
+    c5 = _carry(w2, s2)
+    w3 = h11 + c3 + c4 + c5
+    return w0, w1, w2, w3
+
+
+def geq_p(a) -> jnp.ndarray:
+    """value(a) >= P, for a < 2^64."""
+    lo, hi = a
+    return (hi == P_HI) & (lo >= P_LO)
+
+
+def _cond_sub_p(a):
+    lo, hi = a
+    m = geq_p(a)
+    d, _ = sub64(a, (P_LO, P_HI))
+    return (jnp.where(m, d[0], lo), jnp.where(m, d[1], hi))
+
+
+def _sel(m, a, b):
+    return (jnp.where(m, a[0], b[0]), jnp.where(m, a[1], b[1]))
+
+
+# ---------------------------------------------------------------------------
+# mod-P arithmetic (replaces _add_modP / _sub_modP / _mul_modP, ModP.h:231-289)
+# ---------------------------------------------------------------------------
+
+def add_modp(a, b):
+    """(a + b) mod P for canonical a, b < P."""
+    s, c = add64(a, b)
+    # carry: a + b - 2^64 ≡ a + b - P - (2^32 - 1)  =>  add back (2^32 - 1)
+    s2, _ = add64(s, (MASK32, jnp.uint32(0)))
+    s = _sel(c.astype(bool), s2, s)
+    return _cond_sub_p(s)
+
+
+def sub_modp(a, b):
+    """(a - b) mod P for canonical a, b < P."""
+    d, bor = sub64(a, b)
+    d2, _ = sub64(d, (MASK32, jnp.uint32(0)))
+    return _sel(bor.astype(bool), d2, d)
+
+
+def reduce128(w0, w1, w2, w3):
+    """(w0 + w1*2^32 + w2*2^64 + w3*2^96) mod P, canonical output.
+
+    Uses 2^64 ≡ 2^32 - 1 and 2^96 ≡ -1:  V ≡ lo64 + w2*(2^32-1) - w3.
+    Same folds as ModP.h:249-289, expressed over limb pairs.
+    """
+    lo = (w0, w1)
+    # A = w2 * (2^32 - 1) = (w2 << 32) - w2
+    nz = (w2 != 0).astype(jnp.uint32)
+    a_pair = ((jnp.uint32(0) - w2), w2 - nz)
+    s, c = add64(lo, a_pair)
+    s2, _ = add64(s, (MASK32, jnp.uint32(0)))
+    s = _sel(c.astype(bool), s2, s)
+    # subtract w3
+    d, bor = sub64(s, (w3, jnp.uint32(0)))
+    d2, _ = sub64(d, (MASK32, jnp.uint32(0)))
+    d = _sel(bor.astype(bool), d2, d)
+    return _cond_sub_p(d)
+
+
+def mul_modp(a, b):
+    """(a * b) mod P for a, b < 2^64 (canonical output)."""
+    return reduce128(*mul64(a, b))
+
+
+def neg_modp(a):
+    """(-a) mod P for canonical a."""
+    z = (jnp.zeros_like(a[0]), jnp.zeros_like(a[0]))
+    return sub_modp(z, a)
+
+
+def pow2_modp_const(k: int) -> tuple[int, int]:
+    """Host helper: (2^k mod P) as python (lo, hi)."""
+    v = pow(2, k, P)
+    return v & 0xFFFFFFFF, v >> 32
+
+
+# ---------------------------------------------------------------------------
+# Barrett reduction of a 64-bit pair by a 32-bit modulus.
+# Replaces the reference's reliance on native 64-bit '%' (e.g. Base.cu:874,
+# 489, 893) which TPUs do not have.
+# ---------------------------------------------------------------------------
+
+def barrett_mu(p: int) -> tuple[int, int]:
+    """Host precompute: mu = floor(2^64 / p) as (lo, hi) ints."""
+    mu = (1 << 64) // int(p)
+    return mu & 0xFFFFFFFF, mu >> 32
+
+
+def mod_u32(x, p, mu):
+    """x mod p for pair x < 2^64, scalar-or-array uint32 p, mu = floor(2^64/p).
+
+    Returns uint32 array.  Classic Barrett: q = mulhi64(x, mu); r = x - q*p;
+    r in [0, 3p) then two conditional subtracts.
+    """
+    p = u32(p)
+    mu_lo, mu_hi = mu
+    _, _, q_lo, q_hi = mul64(x, (u32(mu_lo) * jnp.ones_like(x[0]),
+                                 u32(mu_hi) * jnp.ones_like(x[0])))
+    # low 64 bits of q * p  (p is 32-bit)
+    l_lo, l_hi = mul32(q_lo, p)
+    m_lo, _ = mul32(q_hi, p)
+    qp = (l_lo, l_hi + m_lo)
+    r, _ = sub64(x, qp)
+    # r < 3p < 2^34: up to two subtractions of p
+    for _ in range(2):
+        ge = (r[1] > 0) | (r[0] >= p)
+        d, _ = sub64(r, (p * jnp.ones_like(r[0]), jnp.uint32(0)))
+        r = _sel(ge, d, r)
+    return r[0]
+
+
+def mulmod_u32(a, b, p, mu):
+    """(a * b) mod p for uint32 a, b."""
+    return mod_u32(mul32(a, b), p, mu)
+
+
+# ---------------------------------------------------------------------------
+# Limb (de)composition for the MXU matmul path (ntt.py)
+# ---------------------------------------------------------------------------
+
+def pair_to_limbs8(pair):
+    """uint32 pair -> 8 x uint8-valued arrays (ascending powers of 2^8)."""
+    lo, hi = pair
+    out = []
+    for w in (lo, hi):
+        for s in (0, 8, 16, 24):
+            out.append((w >> jnp.uint32(s)) & jnp.uint32(0xFF))
+    return out  # length 8, each uint32-dtype with values < 256
+
+
+def u32_to_limbs4(x):
+    """uint32 array -> 4 byte limbs."""
+    x = u32(x)
+    return [(x >> jnp.uint32(s)) & jnp.uint32(0xFF) for s in (0, 8, 16, 24)]
+
+
+def combine_limb_sums(ts: list):
+    """Given int32 arrays T_s (s = 0..len-1, each < 2^27) representing
+    sum_s T_s * 2^(8 s), return the canonical value mod P as a pair.
+
+    Used to recombine exact MXU limb-product sums after an NTT stage matmul.
+    Strategy: pack groups of four byte-positions into 64-bit pairs, ripple the
+    groups into a 6-word accumulator, then fold 192 -> 128 -> 64 bits mod P.
+    """
+    n = len(ts)
+    assert n <= 16
+    ts = [t.astype(jnp.uint32) for t in ts]
+    zero = jnp.zeros_like(ts[0])
+    while len(ts) < 16:
+        ts.append(zero)
+    # group g covers byte positions 4g..4g+3 => value < 2^(27+24) < 2^51
+    groups = []
+    for g in range(4):
+        acc = (ts[4 * g], zero)
+        for j in (1, 2, 3):
+            t = ts[4 * g + j]
+            sh = jnp.uint32(8 * j)
+            pairt = (t << sh, t >> jnp.uint32(32 - 8 * j))
+            acc, _ = add64(acc, pairt)
+        groups.append(acc)
+    # total = sum_g groups[g] * 2^(32 g): ripple into 6 words
+    w = [zero] * 6
+    for g, (glo, ghi) in enumerate(groups):
+        s = w[g] + glo
+        c = _carry(s, w[g])
+        w[g] = s
+        s = w[g + 1] + ghi + c          # ghi < 2^19, no double carry w/ c
+        c = _carry(s, w[g + 1])
+        w[g + 1] = s
+        k = g + 2
+        while True:
+            s = w[k] + c
+            c = _carry(s, w[k])
+            w[k] = s
+            k += 1
+            if k >= 6:
+                break
+        # (loop always terminates at word 5; carries die out quickly)
+    # fold words 4,5 : 2^128 ≡ -2^32, 2^160 ≡ -2^64 ≡ -(2^32 - 1)  (mod P)
+    # value = low128 + w4*2^128 + w5*2^160
+    #       ≡ low128 - w4*2^32 - w5*(2^32 - 1)
+    low = reduce128(w[0], w[1], w[2], w[3])
+    # t4 = w4 * 2^32 mod P ; w4 < 2^32 so w4*2^32 < 2^64 -> reduce via pair
+    t4 = reduce128(zero, w[4], zero, zero)
+    nz5 = (w[5] != 0).astype(jnp.uint32)
+    t5 = reduce128((jnp.uint32(0) - w[5]), w[5] - nz5, zero, zero)
+    r = sub_modp(low, t4)
+    r = sub_modp(r, t5)
+    return r
