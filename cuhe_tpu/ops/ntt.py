@@ -1,0 +1,251 @@
+"""NTT over Z_P as MXU matmuls (four-step algorithm).
+
+TPU-native redesign of the reference's 3-stage 64x64xK radix-8 CUDA kernels
+(cuhe/Base.cu:309-842).  Instead of butterfly networks with shared-memory
+transposes, the length-N transform is factored N = N1 * N2 and evaluated as
+
+    stage 1:  B[k1, j2] = sum_j1 X[j1, j2] * w^(N2*j1*k1)     (matmul)
+    twiddle:  C[k1, j2] = B[k1, j2] * w^(k1*j2)               (elementwise)
+    stage 2:  D[k1, k2] = sum_j2 C[k1, j2] * w^(N1*j2*k2)     (matmul)
+    output:   out[k1 + N1*k2] = D[k1, k2]
+
+which is bit-identical to the DFT out[k] = sum_j x[j] w^(j k) checked by the
+reference oracle (tests/test_ntt.cu:38-64), with the same generator
+g = 15893793146607301539 and w = g^(65536/N) (Base.cu:64-67).
+
+Z_P matmuls are made exact on the MXU by decomposing both operands into 8-bit
+limbs lifted to bfloat16: every f32 partial sum is bounded by
+256 * 255^2 < 2^24 so accumulation is exact; limb-product sums are then
+recombined mod P on the VPU (ops/modp.py).  Forward-transform inputs are
+uint32 residues (4 limbs); the reference's zero-padded upper half
+(ntt_1_*_ext, Base.cu:309) becomes simply a halved inner dimension.
+
+The windowed-digit forward NTT used by relinearization
+(ntt_1_*_ext_block, Base.cu:345-385) is `ntt_from_digit`, which extracts a
+w-bit window of the RAW multiword coefficients before the same pipeline.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import hostmath as hm
+from . import modp
+
+P = hm.P
+
+_FACTORS = {16384: (128, 128), 32768: (128, 256), 65536: (256, 256)}
+
+
+def _pow_table(omega: int, n: int) -> np.ndarray:
+    pw = np.empty(n, dtype=np.uint64)
+    cur = 1
+    for i in range(n):
+        pw[i] = cur
+        cur = cur * omega % P
+    return pw
+
+
+def _limbs8_f32(w: np.ndarray) -> np.ndarray:
+    """uint64 matrix -> f32 limb stack [8, *w.shape] (numpy, exact bytes).
+
+    Kept as numpy so tables are trace-free; converted to bf16 constants at
+    use sites (byte values 0..255 are exact in bf16).
+    """
+    limbs = [((w >> np.uint64(8 * i)) & np.uint64(0xFF)).astype(np.float32)
+             for i in range(8)]
+    return np.stack(limbs)
+
+
+class NttTables:
+    """Precomputed twiddle-limb matrices for one transform length.
+
+    Replaces preload_ntt (Base.cu:58-108); tables are replicated to all chips
+    by GSPMD instead of per-device texture binds.
+    """
+
+    def __init__(self, n: int):
+        if n not in _FACTORS:
+            raise ValueError(f"unsupported NTT length {n}")
+        self.n = n
+        n1, n2 = _FACTORS[n]
+        self.n1, self.n2 = n1, n2
+        omega = pow(hm.NTT_GEN, 65536 // n, P)
+        omega_inv = hm.modinv(omega, P)
+
+        def build(om):
+            pw = _pow_table(om, n)
+            k1 = np.arange(n1, dtype=np.int64)
+            j1 = np.arange(n1, dtype=np.int64)
+            j2 = np.arange(n2, dtype=np.int64)
+            k2 = np.arange(n2, dtype=np.int64)
+            # W1T[j1, k1] = om^(N2 * j1 * k1)
+            w1t = pw[(np.outer(j1, k1) % n1) * n2 % n]
+            # TwT[j2, k1] = om^(k1 * j2)  (transposed layout: stage-1 output
+            # is kept as [..., j2, k1])
+            twt = pw[np.outer(j2, k1) % n]
+            # W2[j2, k2] = om^(N1 * j2 * k2)
+            w2 = pw[(np.outer(j2, k2) % n2) * n1 % n]
+            return w1t, twt, w2
+
+        def np_pair(w):
+            return ((w & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+                    (w >> np.uint64(32)).astype(np.uint32))
+
+        w1t, twt, w2 = build(omega)
+        self.w1t_half = _limbs8_f32(w1t[: n1 // 2])  # zero-padded upper half
+        self.w1t_full = _limbs8_f32(w1t)
+        self.twt = np_pair(twt)
+        self.w2 = _limbs8_f32(w2)
+
+        w1t_i, twt_i, w2_i = build(omega_inv)
+        self.w1t_inv = _limbs8_f32(w1t_i)
+        self.twt_inv = np_pair(twt_i)
+        self.w2_inv = _limbs8_f32(w2_i)
+
+        ninv = hm.modinv(n, P)
+        self.ninv = (ninv & 0xFFFFFFFF, ninv >> 32)
+
+
+@lru_cache(maxsize=None)
+def get_tables(n: int) -> NttTables:
+    return NttTables(n)
+
+
+# ---------------------------------------------------------------------------
+# exact modular matmul on the MXU
+# ---------------------------------------------------------------------------
+
+def _matmul_modp(x_limbs: list, w_limbs: jnp.ndarray):
+    """sum_j X[..., m, j] * W[j, n] mod P.
+
+    x_limbs: list of uint32 arrays [..., m, j] with byte values (LSB first).
+    w_limbs: bf16 [Lw, j, n] byte limbs of the twiddle matrix.
+    Returns a canonical pair [..., m, n].
+    """
+    w_limbs = jnp.asarray(w_limbs, dtype=jnp.bfloat16)
+    lw = w_limbs.shape[0]
+    xl = jnp.stack([l.astype(jnp.bfloat16) for l in x_limbs], axis=-3)
+    # S[..., a, l, m, n] exact in f32: bound 256 * 255^2 < 2^24
+    s = jnp.einsum("...amj,ljn->...almn", xl, w_limbs,
+                   preferred_element_type=jnp.float32).astype(jnp.int32)
+    la = len(x_limbs)
+    ts = []
+    for tot in range(la + lw - 1):
+        acc = None
+        for a in range(max(0, tot - lw + 1), min(la, tot + 1)):
+            term = s[..., a, tot - a, :, :]
+            acc = term if acc is None else acc + term
+        ts.append(acc)
+    return modp.combine_limb_sums(ts)
+
+
+# ---------------------------------------------------------------------------
+# forward / inverse transforms
+# ---------------------------------------------------------------------------
+
+def ntt_fwd_u32(x: jnp.ndarray, n: int):
+    """Forward length-n NTT of uint32 input of length n/2 (upper half zero).
+
+    x: uint32 [..., n/2]  ->  pair of uint32 [..., n], canonical mod P.
+    Mirrors ntt_1_*_ext -> ntt_2_* -> ntt_3_* (Base.cu:309-437).
+    """
+    t = get_tables(n)
+    n1, n2 = t.n1, t.n2
+    xm = x.reshape(x.shape[:-1] + (n1 // 2, n2))
+    xt = jnp.swapaxes(xm, -1, -2)  # [..., j2, j1]
+    bt = _matmul_modp(modp.u32_to_limbs4(xt), t.w1t_half)  # [..., j2, k1]
+    c = modp.mul_modp(bt, (jnp.asarray(t.twt[0]), jnp.asarray(t.twt[1])))
+    ct = (jnp.swapaxes(c[0], -1, -2), jnp.swapaxes(c[1], -1, -2))  # [..., k1, j2]
+    d = _matmul_modp(modp.pair_to_limbs8(ct), t.w2)  # [..., k1, k2]
+    out = (jnp.swapaxes(d[0], -1, -2).reshape(x.shape[:-1] + (n,)),
+           jnp.swapaxes(d[1], -1, -2).reshape(x.shape[:-1] + (n,)))
+    return out
+
+
+def ntt_fwd_pair(x_pair, n: int):
+    """Forward length-n NTT of a full-length pair input (rarely needed)."""
+    t = get_tables(n)
+    n1, n2 = t.n1, t.n2
+    lo, hi = x_pair
+    shape = lo.shape[:-1]
+    xm = (lo.reshape(shape + (n1, n2)), hi.reshape(shape + (n1, n2)))
+    xt = (jnp.swapaxes(xm[0], -1, -2), jnp.swapaxes(xm[1], -1, -2))
+    bt = _matmul_modp(modp.pair_to_limbs8(xt), t.w1t_full)
+    c = modp.mul_modp(bt, (jnp.asarray(t.twt[0]), jnp.asarray(t.twt[1])))
+    ct = (jnp.swapaxes(c[0], -1, -2), jnp.swapaxes(c[1], -1, -2))
+    d = _matmul_modp(modp.pair_to_limbs8(ct), t.w2)
+    return (jnp.swapaxes(d[0], -1, -2).reshape(shape + (n,)),
+            jnp.swapaxes(d[1], -1, -2).reshape(shape + (n,)))
+
+
+def intt_raw(x_pair, n: int):
+    """Unscaled inverse: sum_k X[k] w^(-k t), as a canonical pair [..., n]."""
+    t = get_tables(n)
+    n1, n2 = t.n1, t.n2
+    lo, hi = x_pair
+    shape = lo.shape[:-1]
+    xm = (lo.reshape(shape + (n1, n2)), hi.reshape(shape + (n1, n2)))
+    xt = (jnp.swapaxes(xm[0], -1, -2), jnp.swapaxes(xm[1], -1, -2))
+    bt = _matmul_modp(modp.pair_to_limbs8(xt), t.w1t_inv)
+    c = modp.mul_modp(bt, (jnp.asarray(t.twt_inv[0]), jnp.asarray(t.twt_inv[1])))
+    ct = (jnp.swapaxes(c[0], -1, -2), jnp.swapaxes(c[1], -1, -2))
+    d = _matmul_modp(modp.pair_to_limbs8(ct), t.w2_inv)
+    return (jnp.swapaxes(d[0], -1, -2).reshape(shape + (n,)),
+            jnp.swapaxes(d[1], -1, -2).reshape(shape + (n,)))
+
+
+def intt_modcrt(x_pair, n: int, p, mu):
+    """Full inverse NTT with per-plane CRT reduction.
+
+    Equivalent to intt_1 -> ntt_2 -> intt_3_modcrt (Base.cu:438-490): scales
+    by n^-1 mod P then reduces each value mod the (broadcasted) prime p.
+    p: uint32 array broadcastable against [..., n]; mu: matching Barrett pair.
+    Returns uint32 [..., n].
+    """
+    t = get_tables(n)
+    y = intt_raw(x_pair, n)
+    ninv = (jnp.full(y[0].shape, t.ninv[0], jnp.uint32),
+            jnp.full(y[0].shape, t.ninv[1], jnp.uint32))
+    y = modp.mul_modp(y, ninv)
+    return modp.mod_u32(y, p, mu)
+
+
+def extract_digit(raw: jnp.ndarray, w: int, wid: int, w32: int) -> jnp.ndarray:
+    """w-bit window `wid` of planar RAW coefficients [w32, len] -> uint32 [len].
+
+    Matches the in-kernel windowing of ntt_1_*_ext_block (Base.cu:360-371).
+    """
+    bit = w * wid
+    k = bit >> 5
+    sh = jnp.uint32(bit & 31)
+    lo = raw[k]
+    hi = raw[k + 1] if k + 1 < w32 else jnp.zeros_like(lo)
+    mask = jnp.uint32((1 << w) - 1) if w < 32 else jnp.uint32(0xFFFFFFFF)
+    val = (lo >> sh) | jnp.where(sh == 0, jnp.uint32(0), hi << (jnp.uint32(32) - sh))
+    return val & mask
+
+
+def ntt_from_digit(raw: jnp.ndarray, w: int, wid: int, n: int):
+    """Forward NTT of one relinearization digit straight from RAW words."""
+    w32 = raw.shape[-2]
+    digit = extract_digit(raw, w, wid, w32)
+    return ntt_fwd_u32(digit, n)
+
+
+def ntt_fwd_batched(x: jnp.ndarray, n: int, chunk: int = 8):
+    """Memory-bounded batched forward NTT over the leading axis via lax.map."""
+    b = x.shape[0]
+    if b <= chunk:
+        return ntt_fwd_u32(x, n)
+    pad = (-b) % chunk
+    xp = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+    xc = xp.reshape((xp.shape[0] // chunk, chunk) + xp.shape[1:])
+    lo, hi = jax.lax.map(lambda v: ntt_fwd_u32(v, n), xc)
+    lo = lo.reshape((-1,) + lo.shape[2:])[:b]
+    hi = hi.reshape((-1,) + hi.shape[2:])[:b]
+    return lo, hi
