@@ -218,6 +218,40 @@ class Context:
                 w=w, knum=knum, pnum=pn, n=n)
         return jax.jit(f)
 
+    @lru_cache(maxsize=None)
+    def _jit_mul_one_many(self, lvl: int, chunk: int):
+        """Batched raw_b[chunk] x ntt_a -> raw product pipeline (keygen)."""
+        pn = self.params.num_crt_prime_lvl(lvl)
+        n = self.n
+        primes = self.primes_np[:pn]
+        mus = (self.mus_np[0][:pn], self.mus_np[1][:pn])
+        m_words, mi_words, bi = self._icrt[lvl]
+        mod_len = self.mod_len
+        u_ntt = (self.u_ntt[0][:pn], self.u_ntt[1][:pn])
+        m_ntt = (self.m_ntt[0][:pn], self.m_ntt[1][:pn])
+        m_crt = self.m_crt_np[:pn]
+
+        def one(raw_b, a_pair):
+            pj = jnp.asarray(primes)
+            muj = (jnp.asarray(mus[0]), jnp.asarray(mus[1]))
+            c = crt_ops.crt_from_raw(raw_b, pj, muj)
+            b_pair = ntt.ntt_fwd_u32(c, n)
+            prod = modp.mul_modp(b_pair, a_pair)
+            full = ntt.intt_modcrt(prod, n, pj[:, None],
+                                   (muj[0][:, None], muj[1][:, None]))
+            red = barrett_ops.barrett_reduce(
+                full, mod_len=mod_len, n=n,
+                u_ntt=(jnp.asarray(u_ntt[0]), jnp.asarray(u_ntt[1])),
+                m_ntt=(jnp.asarray(m_ntt[0]), jnp.asarray(m_ntt[1])),
+                m_crt=jnp.asarray(m_crt), primes=pj, mus=muj)
+            return crt_ops.icrt_to_raw(
+                red, pj, muj, jnp.asarray(bi), jnp.asarray(mi_words),
+                jnp.asarray(m_words))
+
+        def f(raw_batch, a_pair):
+            return jax.lax.map(lambda r: one(r, a_pair), raw_batch)
+        return jax.jit(f)
+
     def set_eval_keys(self, ek_lo: np.ndarray, ek_hi: np.ndarray):
         """Install NTT-domain eval keys [num_eval_key, pnum, ntt_len]."""
         self.ek_ntt = (np.asarray(ek_lo), np.asarray(ek_hi))

@@ -12,7 +12,58 @@ extension in native/).
 
 from __future__ import annotations
 
+import ctypes
+import os
+
 import numpy as np
+
+
+def _load_native():
+    """Load the optional C++ host-math library (native/libcuhe_host.so)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    for cand in (os.path.join(here, "..", "native", "libcuhe_host.so"),
+                 os.path.join(here, "libcuhe_host.so")):
+        if os.path.exists(cand):
+            try:
+                lib = ctypes.CDLL(cand)
+                lib.poly_inv_batch.argtypes = [
+                    ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctypes.c_int64), ctypes.c_int, ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32)]
+                lib.cuhe_host_version.restype = ctypes.c_int
+                if lib.cuhe_host_version() >= 1:
+                    return lib
+            except OSError:
+                pass
+    return None
+
+
+_NATIVE = _load_native()
+
+
+def native_available() -> bool:
+    return _NATIVE is not None
+
+
+def poly_inv_batch_native(fs: np.ndarray, ms: np.ndarray, ps: np.ndarray):
+    """Batched f^-1 mod (m, p_i) via the C++ extension (OpenMP over primes).
+
+    fs: int64 [np, n]; ms: int64 [np, n+1]; ps: int64 [np].
+    Returns (out int64 [np, n], ok int32 [np] with 0 == success).
+    """
+    fs = np.ascontiguousarray(fs, dtype=np.int64)
+    ms = np.ascontiguousarray(ms, dtype=np.int64)
+    ps = np.ascontiguousarray(ps, dtype=np.int64)
+    npn, n = fs.shape
+    out = np.zeros((npn, n), dtype=np.int64)
+    ok = np.zeros(npn, dtype=np.int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    _NATIVE.poly_inv_batch(
+        fs.ctypes.data_as(i64p), ms.ctypes.data_as(i64p),
+        ps.ctypes.data_as(i64p), npn, n,
+        out.ctypes.data_as(i64p),
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return out, ok
 
 # The NTT-friendly "Goldilocks" prime P = 2^64 - 2^32 + 1 (reference ModP.h:34).
 P = 0xFFFFFFFF00000001

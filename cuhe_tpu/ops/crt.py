@@ -47,12 +47,16 @@ def icrt_to_raw(crt: jnp.ndarray, primes: jnp.ndarray, mus, bi: jnp.ndarray,
     bi:       uint32 [pnum]             inv(M/p_i mod p_i)
     mi_words: uint32 [pnum, words]      little-endian words of M/p_i
     m_words:  uint32 [words]            little-endian words of M
+
+    Supports leading batch dims on `crt` ([..., pnum, n]).
     """
     pnum, n = crt.shape[-2], crt.shape[-1]
+    batch = crt.shape[:-2]
+    crt = jnp.moveaxis(crt, -2, 0)  # [pnum, ..., n]
     words = int(m_words.shape[0])
-    zero = jnp.zeros((n,), dtype=jnp.uint32)
+    zero = jnp.zeros(batch + (n,), dtype=jnp.uint32)
 
-    m_bc = [jnp.broadcast_to(m_words[w], (n,)) for w in range(words)]
+    m_bc = [jnp.broadcast_to(m_words[w], batch + (n,)) for w in range(words)]
 
     def step(carry_sum, xs):
         x_i, p_i, mu_lo, mu_hi, b_i, mi_w = xs
@@ -89,8 +93,8 @@ def icrt_to_raw(crt: jnp.ndarray, primes: jnp.ndarray, mus, bi: jnp.ndarray,
         s[words] = jnp.where(ge, s[words] - bor, s[words])
         return tuple(s), None
 
-    init = tuple(jnp.zeros((n,), dtype=jnp.uint32) for _ in range(words + 1))
+    init = tuple(zero for _ in range(words + 1))
     xs = (crt, primes[:pnum], mus[0][:pnum], mus[1][:pnum], bi,
           mi_words)
     out, _ = jax.lax.scan(step, init, xs)
-    return jnp.stack(out[:words])
+    return jnp.moveaxis(jnp.stack(out[:words]), 0, -2)

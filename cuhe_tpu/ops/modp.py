@@ -19,10 +19,10 @@ import jax.numpy as jnp
 import numpy as np
 
 P = 0xFFFFFFFF00000001
-P_LO = jnp.uint32(1)
-P_HI = jnp.uint32(0xFFFFFFFF)
-MASK32 = jnp.uint32(0xFFFFFFFF)
-_U32 = jnp.uint32
+# plain python ints so kernels (incl. Pallas) embed them as literals
+P_LO = 1
+P_HI = 0xFFFFFFFF
+MASK32 = 0xFFFFFFFF
 
 
 def u32(x):
@@ -130,13 +130,14 @@ def mul64(a, b):
 def geq_p(a) -> jnp.ndarray:
     """value(a) >= P, for a < 2^64."""
     lo, hi = a
-    return (hi == P_HI) & (lo >= P_LO)
+    return (hi == jnp.uint32(P_HI)) & (lo >= jnp.uint32(P_LO))
 
 
 def _cond_sub_p(a):
     lo, hi = a
     m = geq_p(a)
-    d, _ = sub64(a, (P_LO, P_HI))
+    d, _ = sub64(a, (jnp.uint32(P_LO) * jnp.ones_like(lo),
+                     jnp.uint32(P_HI) * jnp.ones_like(hi)))
     return (jnp.where(m, d[0], lo), jnp.where(m, d[1], hi))
 
 
@@ -152,7 +153,7 @@ def add_modp(a, b):
     """(a + b) mod P for canonical a, b < P."""
     s, c = add64(a, b)
     # carry: a + b - 2^64 ≡ a + b - P - (2^32 - 1)  =>  add back (2^32 - 1)
-    s2, _ = add64(s, (MASK32, jnp.uint32(0)))
+    s2, _ = add64(s, (jnp.full_like(s[0], MASK32), jnp.zeros_like(s[0])))
     s = _sel(c.astype(bool), s2, s)
     return _cond_sub_p(s)
 
@@ -160,7 +161,7 @@ def add_modp(a, b):
 def sub_modp(a, b):
     """(a - b) mod P for canonical a, b < P."""
     d, bor = sub64(a, b)
-    d2, _ = sub64(d, (MASK32, jnp.uint32(0)))
+    d2, _ = sub64(d, (jnp.full_like(d[0], MASK32), jnp.zeros_like(d[0])))
     return _sel(bor.astype(bool), d2, d)
 
 
@@ -175,11 +176,11 @@ def reduce128(w0, w1, w2, w3):
     nz = (w2 != 0).astype(jnp.uint32)
     a_pair = ((jnp.uint32(0) - w2), w2 - nz)
     s, c = add64(lo, a_pair)
-    s2, _ = add64(s, (MASK32, jnp.uint32(0)))
+    s2, _ = add64(s, (jnp.full_like(s[0], MASK32), jnp.zeros_like(s[0])))
     s = _sel(c.astype(bool), s2, s)
     # subtract w3
     d, bor = sub64(s, (w3, jnp.uint32(0)))
-    d2, _ = sub64(d, (MASK32, jnp.uint32(0)))
+    d2, _ = sub64(d, (jnp.full_like(d[0], MASK32), jnp.zeros_like(d[0])))
     d = _sel(bor.astype(bool), d2, d)
     return _cond_sub_p(d)
 

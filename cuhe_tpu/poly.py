@@ -242,3 +242,30 @@ def poly_mul_ints(ctx: Context, a: list[int], b: list[int], lvl: int) -> list[in
     cb = to_ntt(ctx, ctxt_from_ints(b, lvl))
     cc = c_and(ctx, ca, cb)
     return to_ints(ctx, cc)
+
+
+def poly_mul_one_to_many(ctx: Context, a: list[int], bs: list[list[int]],
+                         lvl: int, chunk: int = 4) -> list[list[int]]:
+    """Batched (a * b_i) mod m(x) mod q for a fixed left operand.
+
+    Keygen generates num_eval_key products against the same pk (genEk,
+    DHS.cu:340-362); batching them through one jitted chunk pipeline
+    amortises both compilation and the NTT of `a`.
+    """
+    import numpy as np
+
+    pr = ctx.params
+    words = pr.words_coeff(lvl)
+    a_ntt = to_ntt(ctx, ctxt_from_ints(a, lvl)).data
+
+    fn = ctx._jit_mul_one_many(lvl, chunk)
+    raws = [hm.ints_to_words(b, words, pr.raw_len) for b in bs]
+    out = []
+    for i in range(0, len(raws), chunk):
+        batch = raws[i: i + chunk]
+        npad = chunk - len(batch)
+        batch = batch + [np.zeros_like(batch[0])] * npad
+        res = np.asarray(fn(jnp.asarray(np.stack(batch)), a_ntt))
+        for j in range(len(batch) - npad):
+            out.append(hm.words_to_ints(res[j])[: pr.mod_len])
+    return out

@@ -1,0 +1,81 @@
+"""Scheme-level integration tests replicating examples/DHS/simple_DHS.cu:
+encode -> encrypt -> {XOR (no relin), NOT, AND (+relin +modSwitch)} ->
+decrypt -> decode, plus key serialization round-trips, on the shipped
+parameter set CuDHS(5, 2, 1, 61, 20, 8191)."""
+
+import numpy as np
+import pytest
+
+from cuhe_tpu import poly
+from cuhe_tpu.dhs import CuDHS
+
+P_MSG = 2
+
+
+@pytest.fixture(scope="module")
+def dhs():
+    return CuDHS(5, P_MSG, 1, 61, 20, 8191, seed=12345)
+
+
+@pytest.fixture(scope="module")
+def msg_rng():
+    return np.random.default_rng(777)
+
+
+def _rand_bits(rng, n):
+    return [int(b) for b in rng.integers(0, P_MSG, n)]
+
+
+def test_check_xor(dhs, msg_rng):
+    x = [_rand_bits(msg_rng, dhs.num_slot) for _ in range(2)]
+    y = [dhs.encrypt(dhs.batcher.encode(xi), 0) for xi in x]
+    cts = [poly.to_ntt(dhs.ctx, poly.ctxt_from_ints(yi, 0)) for yi in y]
+    cz = poly.c_xor(dhs.ctx, cts[0], cts[1])
+    z = dhs.decrypt(poly.to_ints(dhs.ctx, cz), 0)
+    got = dhs.batcher.decode(z)
+    want = [(a + b) % P_MSG for a, b in zip(x[0], x[1])]
+    assert got == want
+
+
+def test_check_not(dhs, msg_rng):
+    x = _rand_bits(msg_rng, dhs.num_slot)
+    y = dhs.encrypt(dhs.batcher.encode(x), 0)
+    ct = poly.to_crt(dhs.ctx, poly.ctxt_from_ints(y, 0))
+    cz = poly.c_not(dhs.ctx, ct)
+    z = dhs.decrypt(poly.to_ints(dhs.ctx, cz), 0)
+    got = dhs.batcher.decode(z)
+    want = [1 - b for b in x]
+    assert got == want
+
+
+def test_check_and(dhs, msg_rng):
+    x = [_rand_bits(msg_rng, dhs.num_slot) for _ in range(2)]
+    y = [dhs.encrypt(dhs.batcher.encode(xi), 0) for xi in x]
+    cts = [poly.to_ntt(dhs.ctx, poly.ctxt_from_ints(yi, 0)) for yi in y]
+    cz = poly.c_and(dhs.ctx, cts[0], cts[1])
+    cz = poly.relin(dhs.ctx, cz)
+    cz = poly.mod_switch(dhs.ctx, cz)
+    assert cz.level == 1
+    z = dhs.decrypt(poly.to_ints(dhs.ctx, cz), 1)
+    got = dhs.batcher.decode(z)
+    want = [a * b for a, b in zip(x[0], x[1])]
+    assert got == want
+
+
+def test_check_keys(dhs, msg_rng):
+    x = _rand_bits(msg_rng, dhs.num_slot)
+    private_key = dhs.get_private_key()
+    public_key = dhs.get_public_key()
+
+    # dhs encrypts --> dhs2 (from private key string) decrypts
+    y = dhs.encrypt(dhs.batcher.encode(x), 0)
+    dhs2 = CuDHS(key_string=private_key, seed=99)
+    z = dhs2.batcher.decode(dhs2.decrypt(y, 0))
+    assert z == x
+
+    # dhs3 (from public key string) encrypts --> dhs decrypts
+    dhs3 = CuDHS(key_string=public_key, seed=98)
+    assert dhs3.sk[0] is None
+    y = dhs3.encrypt(dhs3.batcher.encode(x), 0)
+    z = dhs.batcher.decode(dhs.decrypt(y, 0))
+    assert z == x
