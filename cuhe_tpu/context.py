@@ -103,7 +103,11 @@ class Context:
         def residue_planes(per_p):
             out = np.zeros((pnum, half), dtype=np.uint32)
             for i, v in enumerate(per_p):
-                out[i, : len(v)] = v.astype(np.uint32)
+                # m has mod_len+1 coeffs but its x^mod_len term was zeroed
+                # (m - x^n); clip to the plane length.
+                k = min(len(v), half)
+                assert not np.any(v[k:]), "non-zero coefficients clipped"
+                out[i, :k] = v[:k].astype(np.uint32)
             return out
 
         self.m_crt_np = residue_planes(m_per_p)
@@ -114,42 +118,56 @@ class Context:
         self.u_ntt = (np.asarray(u_ntt[0]), np.asarray(u_ntt[1]))
 
         # eval keys (set by dhs.init_relinearization)
-        self.ek_ntt: tuple[np.ndarray, np.ndarray] | None = None
+        self.ek_ntt: tuple | None = None
+
+        # Device-resident table bundle: jnp arrays created eagerly so jitted
+        # closures capture them as executable parameters, never HLO literals
+        # (the axon compile tunnel rejects oversized programs).
+        with jax.ensure_compile_time_eval():
+            self.j_primes = jnp.asarray(self.primes_np)
+            self.j_mus = (jnp.asarray(self.mus_np[0]),
+                          jnp.asarray(self.mus_np[1]))
+            self.j_invp = jnp.asarray(self.invp_np)
+            self.j_icrt = {
+                lvl: tuple(jnp.asarray(a) for a in self._icrt[lvl])
+                for lvl in range(pr.depth)
+            }
+            self.j_m_crt = jnp.asarray(self.m_crt_np)
+            self.j_m_ntt = (jnp.asarray(self.m_ntt[0]), jnp.asarray(self.m_ntt[1]))
+            self.j_u_ntt = (jnp.asarray(self.u_ntt[0]), jnp.asarray(self.u_ntt[1]))
 
     # ---- convenience views ----
     @property
     def primes(self):
-        return jnp.asarray(self.primes_np)
+        return self.j_primes
 
     def mus(self):
-        return (jnp.asarray(self.mus_np[0]), jnp.asarray(self.mus_np[1]))
+        return self.j_mus
 
     # ------------------------------------------------------------------
     # jitted per-level conversion ops (CuPolynomial state machine)
     # ------------------------------------------------------------------
+    def _lvl_consts(self, lvl: int):
+        pn = self.params.num_crt_prime_lvl(lvl)
+        primes = self.j_primes[:pn]
+        mus = (self.j_mus[0][:pn], self.j_mus[1][:pn])
+        return pn, primes, mus
+
     @lru_cache(maxsize=None)
     def _jit_r2c(self, lvl: int):
-        pn = self.params.num_crt_prime_lvl(lvl)
-        primes = self.primes_np[:pn]
-        mus = (self.mus_np[0][:pn], self.mus_np[1][:pn])
+        _, primes, mus = self._lvl_consts(lvl)
 
         def f(raw):
-            return crt_ops.crt_from_raw(raw, jnp.asarray(primes),
-                                        (jnp.asarray(mus[0]), jnp.asarray(mus[1])))
+            return crt_ops.crt_from_raw(raw, primes, mus)
         return jax.jit(f)
 
     @lru_cache(maxsize=None)
     def _jit_c2r(self, lvl: int):
-        pn = self.params.num_crt_prime_lvl(lvl)
-        m_words, mi_words, bi = self._icrt[lvl]
-        primes = self.primes_np[:pn]
-        mus = (self.mus_np[0][:pn], self.mus_np[1][:pn])
+        _, primes, mus = self._lvl_consts(lvl)
+        m_words, mi_words, bi = self.j_icrt[lvl]
 
         def f(c):
-            return crt_ops.icrt_to_raw(
-                c, jnp.asarray(primes),
-                (jnp.asarray(mus[0]), jnp.asarray(mus[1])),
-                jnp.asarray(bi), jnp.asarray(mi_words), jnp.asarray(m_words))
+            return crt_ops.icrt_to_raw(c, primes, mus, bi, mi_words, m_words)
         return jax.jit(f)
 
     @lru_cache(maxsize=None)
@@ -162,43 +180,33 @@ class Context:
 
     @lru_cache(maxsize=None)
     def _jit_n2c(self, lvl: int, is_prod: bool):
-        pn = self.params.num_crt_prime_lvl(lvl)
+        pn, primes, mus = self._lvl_consts(lvl)
         n = self.n
         half = n // 2
-        primes = self.primes_np[:pn]
-        mus = (self.mus_np[0][:pn], self.mus_np[1][:pn])
         mod_len = self.mod_len
-        u_ntt = (self.u_ntt[0][:pn], self.u_ntt[1][:pn])
-        m_ntt = (self.m_ntt[0][:pn], self.m_ntt[1][:pn])
-        m_crt = self.m_crt_np[:pn]
+        u_ntt = (self.j_u_ntt[0][:pn], self.j_u_ntt[1][:pn])
+        m_ntt = (self.j_m_ntt[0][:pn], self.j_m_ntt[1][:pn])
+        m_crt = self.j_m_crt[:pn]
 
         def f(x_pair):
-            p_col = jnp.asarray(primes)[:, None]
-            mu_col = (jnp.asarray(mus[0])[:, None], jnp.asarray(mus[1])[:, None])
+            p_col = primes[:, None]
+            mu_col = (mus[0][:, None], mus[1][:, None])
             full = ntt.intt_modcrt(x_pair, n, p_col, mu_col)
             if not is_prod:
                 return full[..., :half]
             return barrett_ops.barrett_reduce(
-                full, mod_len=mod_len, n=n,
-                u_ntt=(jnp.asarray(u_ntt[0]), jnp.asarray(u_ntt[1])),
-                m_ntt=(jnp.asarray(m_ntt[0]), jnp.asarray(m_ntt[1])),
-                m_crt=jnp.asarray(m_crt),
-                primes=jnp.asarray(primes),
-                mus=(jnp.asarray(mus[0]), jnp.asarray(mus[1])))
+                full, mod_len=mod_len, n=n, u_ntt=u_ntt, m_ntt=m_ntt,
+                m_crt=m_crt, primes=primes, mus=mus)
         return jax.jit(f)
 
     @lru_cache(maxsize=None)
     def _jit_mod_switch(self, lvl: int):
-        pn = self.params.num_crt_prime_lvl(lvl)
-        primes = self.primes_np[:pn]
-        mus = (self.mus_np[0][:pn], self.mus_np[1][:pn])
-        invp_last = self.invp_np[pn - 1, : pn - 1]
+        pn, primes, mus = self._lvl_consts(lvl)
+        invp_last = self.j_invp[pn - 1, : pn - 1]
         mod_msg = self.params.mod_msg
 
         def f(c):
-            return pw.mod_switch(c, jnp.asarray(primes),
-                                 (jnp.asarray(mus[0]), jnp.asarray(mus[1])),
-                                 jnp.asarray(invp_last), mod_msg)
+            return pw.mod_switch(c, primes, mus, invp_last, mod_msg)
         return jax.jit(f)
 
     @lru_cache(maxsize=None)
@@ -213,46 +221,40 @@ class Context:
         ek_lo, ek_hi = self.ek_ntt
 
         def f(raw):
-            return relin_ops.relinearize(
-                raw, jnp.asarray(ek_lo), jnp.asarray(ek_hi),
-                w=w, knum=knum, pnum=pn, n=n)
+            return relin_ops.relinearize(raw, ek_lo, ek_hi,
+                                         w=w, knum=knum, pnum=pn, n=n)
         return jax.jit(f)
 
     @lru_cache(maxsize=None)
     def _jit_mul_one_many(self, lvl: int, chunk: int):
         """Batched raw_b[chunk] x ntt_a -> raw product pipeline (keygen)."""
-        pn = self.params.num_crt_prime_lvl(lvl)
+        pn, primes, mus = self._lvl_consts(lvl)
         n = self.n
-        primes = self.primes_np[:pn]
-        mus = (self.mus_np[0][:pn], self.mus_np[1][:pn])
-        m_words, mi_words, bi = self._icrt[lvl]
+        m_words, mi_words, bi = self.j_icrt[lvl]
         mod_len = self.mod_len
-        u_ntt = (self.u_ntt[0][:pn], self.u_ntt[1][:pn])
-        m_ntt = (self.m_ntt[0][:pn], self.m_ntt[1][:pn])
-        m_crt = self.m_crt_np[:pn]
+        u_ntt = (self.j_u_ntt[0][:pn], self.j_u_ntt[1][:pn])
+        m_ntt = (self.j_m_ntt[0][:pn], self.j_m_ntt[1][:pn])
+        m_crt = self.j_m_crt[:pn]
 
         def one(raw_b, a_pair):
-            pj = jnp.asarray(primes)
-            muj = (jnp.asarray(mus[0]), jnp.asarray(mus[1]))
-            c = crt_ops.crt_from_raw(raw_b, pj, muj)
+            c = crt_ops.crt_from_raw(raw_b, primes, mus)
             b_pair = ntt.ntt_fwd_u32(c, n)
             prod = modp.mul_modp(b_pair, a_pair)
-            full = ntt.intt_modcrt(prod, n, pj[:, None],
-                                   (muj[0][:, None], muj[1][:, None]))
+            full = ntt.intt_modcrt(prod, n, primes[:, None],
+                                   (mus[0][:, None], mus[1][:, None]))
             red = barrett_ops.barrett_reduce(
-                full, mod_len=mod_len, n=n,
-                u_ntt=(jnp.asarray(u_ntt[0]), jnp.asarray(u_ntt[1])),
-                m_ntt=(jnp.asarray(m_ntt[0]), jnp.asarray(m_ntt[1])),
-                m_crt=jnp.asarray(m_crt), primes=pj, mus=muj)
-            return crt_ops.icrt_to_raw(
-                red, pj, muj, jnp.asarray(bi), jnp.asarray(mi_words),
-                jnp.asarray(m_words))
+                full, mod_len=mod_len, n=n, u_ntt=u_ntt, m_ntt=m_ntt,
+                m_crt=m_crt, primes=primes, mus=mus)
+            return crt_ops.icrt_to_raw(red, primes, mus, bi, mi_words, m_words)
 
         def f(raw_batch, a_pair):
             return jax.lax.map(lambda r: one(r, a_pair), raw_batch)
         return jax.jit(f)
 
     def set_eval_keys(self, ek_lo: np.ndarray, ek_hi: np.ndarray):
-        """Install NTT-domain eval keys [num_eval_key, pnum, ntt_len]."""
-        self.ek_ntt = (np.asarray(ek_lo), np.asarray(ek_hi))
+        """Install NTT-domain eval keys [num_eval_key, pnum, ntt_len],
+        device-resident (supersedes the reference's pinned-host streaming,
+        Relinearization.cu:43-88)."""
+        with jax.ensure_compile_time_eval():
+            self.ek_ntt = (jnp.asarray(ek_lo), jnp.asarray(ek_hi))
         self._jit_relin.cache_clear()

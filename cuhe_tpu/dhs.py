@@ -284,6 +284,32 @@ class CuDHS:
              for i, (a, b) in enumerate(zip(t, e))]
         return self._reduce(t, lvl)
 
+    def encrypt_many(self, msgs: list[list[int]], lvl: int) -> list[list[int]]:
+        """Batched encrypt: shares one NTT of pk and one jitted pipeline."""
+        pr = self.params
+        ss = [self._reduce(self.sample(), lvl) for _ in msgs]
+        es = [self.sample() for _ in msgs]
+        prods = poly.poly_mul_one_to_many(self.ctx, self.pk[lvl], ss, lvl)
+        out = []
+        for m, e, t in zip(msgs, es, prods):
+            c = [(a + b * pr.mod_msg + (m[i] if i < len(m) else 0))
+                 for i, (a, b) in enumerate(zip(t, e))]
+            out.append(self._reduce(c, lvl))
+        return out
+
+    def decrypt_many(self, cts: list[list[int]], lvl: int,
+                     max_mul_path: int = 1) -> list[list[int]]:
+        """Batched decrypt (one sk multiply round per path)."""
+        pr = self.params
+        q = self.coeff_mod[lvl]
+        ts = [self._reduce(c, lvl) for c in cts]
+        rounds = max_mul_path if pr.log_relin > 0 else 1
+        for _ in range(rounds):
+            ts = poly.poly_mul_one_to_many(self.ctx, self.sk[lvl], ts, lvl)
+        half = (q - 1) // 2
+        return [[(c - q if c > half else c) % pr.mod_msg for c in t]
+                for t in ts]
+
     def decrypt(self, coeffs: list[int], lvl: int, max_mul_path: int = 1) -> list[int]:
         if self.sk[0] is None:
             raise RuntimeError("operation not available without private key")

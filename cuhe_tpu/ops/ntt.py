@@ -110,6 +110,21 @@ class NttTables:
         ninv = hm.modinv(n, P)
         self.ninv = (ninv & 0xFFFFFFFF, ninv >> 32)
 
+        # Device-resident versions, created eagerly (never inside a trace) so
+        # jitted users capture them as executable parameters rather than HLO
+        # literals -- keeps compiled-program uploads small.
+        import jax as _jax
+        with _jax.ensure_compile_time_eval():
+            as_bf16 = lambda a: jnp.asarray(a, dtype=jnp.bfloat16)
+            self.j_w1t_half = as_bf16(self.w1t_half)
+            self.j_w1t_full = as_bf16(self.w1t_full)
+            self.j_w2 = as_bf16(self.w2)
+            self.j_w1t_inv = as_bf16(self.w1t_inv)
+            self.j_w2_inv = as_bf16(self.w2_inv)
+            self.j_twt = (jnp.asarray(self.twt[0]), jnp.asarray(self.twt[1]))
+            self.j_twt_inv = (jnp.asarray(self.twt_inv[0]),
+                              jnp.asarray(self.twt_inv[1]))
+
 
 @lru_cache(maxsize=None)
 def get_tables(n: int) -> NttTables:
@@ -127,7 +142,6 @@ def _matmul_modp(x_limbs: list, w_limbs: jnp.ndarray):
     w_limbs: bf16 [Lw, j, n] byte limbs of the twiddle matrix.
     Returns a canonical pair [..., m, n].
     """
-    w_limbs = jnp.asarray(w_limbs, dtype=jnp.bfloat16)
     lw = w_limbs.shape[0]
     xl = jnp.stack([l.astype(jnp.bfloat16) for l in x_limbs], axis=-3)
     # S[..., a, l, m, n] exact in f32: bound 256 * 255^2 < 2^24
@@ -158,10 +172,10 @@ def ntt_fwd_u32(x: jnp.ndarray, n: int):
     n1, n2 = t.n1, t.n2
     xm = x.reshape(x.shape[:-1] + (n1 // 2, n2))
     xt = jnp.swapaxes(xm, -1, -2)  # [..., j2, j1]
-    bt = _matmul_modp(modp.u32_to_limbs4(xt), t.w1t_half)  # [..., j2, k1]
-    c = modp.mul_modp(bt, (jnp.asarray(t.twt[0]), jnp.asarray(t.twt[1])))
+    bt = _matmul_modp(modp.u32_to_limbs4(xt), t.j_w1t_half)  # [..., j2, k1]
+    c = modp.mul_modp(bt, t.j_twt)
     ct = (jnp.swapaxes(c[0], -1, -2), jnp.swapaxes(c[1], -1, -2))  # [..., k1, j2]
-    d = _matmul_modp(modp.pair_to_limbs8(ct), t.w2)  # [..., k1, k2]
+    d = _matmul_modp(modp.pair_to_limbs8(ct), t.j_w2)  # [..., k1, k2]
     out = (jnp.swapaxes(d[0], -1, -2).reshape(x.shape[:-1] + (n,)),
            jnp.swapaxes(d[1], -1, -2).reshape(x.shape[:-1] + (n,)))
     return out
@@ -175,10 +189,10 @@ def ntt_fwd_pair(x_pair, n: int):
     shape = lo.shape[:-1]
     xm = (lo.reshape(shape + (n1, n2)), hi.reshape(shape + (n1, n2)))
     xt = (jnp.swapaxes(xm[0], -1, -2), jnp.swapaxes(xm[1], -1, -2))
-    bt = _matmul_modp(modp.pair_to_limbs8(xt), t.w1t_full)
-    c = modp.mul_modp(bt, (jnp.asarray(t.twt[0]), jnp.asarray(t.twt[1])))
+    bt = _matmul_modp(modp.pair_to_limbs8(xt), t.j_w1t_full)
+    c = modp.mul_modp(bt, t.j_twt)
     ct = (jnp.swapaxes(c[0], -1, -2), jnp.swapaxes(c[1], -1, -2))
-    d = _matmul_modp(modp.pair_to_limbs8(ct), t.w2)
+    d = _matmul_modp(modp.pair_to_limbs8(ct), t.j_w2)
     return (jnp.swapaxes(d[0], -1, -2).reshape(shape + (n,)),
             jnp.swapaxes(d[1], -1, -2).reshape(shape + (n,)))
 
@@ -191,10 +205,10 @@ def intt_raw(x_pair, n: int):
     shape = lo.shape[:-1]
     xm = (lo.reshape(shape + (n1, n2)), hi.reshape(shape + (n1, n2)))
     xt = (jnp.swapaxes(xm[0], -1, -2), jnp.swapaxes(xm[1], -1, -2))
-    bt = _matmul_modp(modp.pair_to_limbs8(xt), t.w1t_inv)
-    c = modp.mul_modp(bt, (jnp.asarray(t.twt_inv[0]), jnp.asarray(t.twt_inv[1])))
+    bt = _matmul_modp(modp.pair_to_limbs8(xt), t.j_w1t_inv)
+    c = modp.mul_modp(bt, t.j_twt_inv)
     ct = (jnp.swapaxes(c[0], -1, -2), jnp.swapaxes(c[1], -1, -2))
-    d = _matmul_modp(modp.pair_to_limbs8(ct), t.w2_inv)
+    d = _matmul_modp(modp.pair_to_limbs8(ct), t.j_w2_inv)
     return (jnp.swapaxes(d[0], -1, -2).reshape(shape + (n,)),
             jnp.swapaxes(d[1], -1, -2).reshape(shape + (n,)))
 
@@ -223,8 +237,8 @@ def extract_digit(raw: jnp.ndarray, w: int, wid: int, w32: int) -> jnp.ndarray:
     bit = w * wid
     k = bit >> 5
     sh = jnp.uint32(bit & 31)
-    lo = raw[k]
-    hi = raw[k + 1] if k + 1 < w32 else jnp.zeros_like(lo)
+    lo = raw[..., k, :]
+    hi = raw[..., k + 1, :] if k + 1 < w32 else jnp.zeros_like(lo)
     mask = jnp.uint32((1 << w) - 1) if w < 32 else jnp.uint32(0xFFFFFFFF)
     val = (lo >> sh) | jnp.where(sh == 0, jnp.uint32(0), hi << (jnp.uint32(32) - sh))
     return val & mask

@@ -22,24 +22,28 @@ from . import modp, ntt
 
 def relinearize(raw: jnp.ndarray, ek_lo: jnp.ndarray, ek_hi: jnp.ndarray,
                 *, w: int, knum: int, pnum: int, n: int, digit_chunk: int = 8):
-    """raw: uint32 [w32, raw_len] RAW ciphertext words (level lvl).
+    """raw: uint32 [..., w32, raw_len] RAW ciphertext words (level lvl).
 
     ek_lo/ek_hi: uint32 [num_eval_key, pnum_max, n] eval keys in NTT domain.
     Uses the first `knum` keys and `pnum` planes for this level.
-    Returns an NTT-domain pair [pnum, n]:
-        dst[p] = sum_j ntt(digit_j(raw)) * ek[j, p].
+    Returns an NTT-domain pair [..., pnum, n]:
+        dst[..., p, :] = sum_j ntt(digit_j(raw)) * ek[j, p].
+    Supports leading batch dims.
     """
     w32 = raw.shape[-2]
-    digits = jnp.stack([ntt.extract_digit(raw, w, j, w32) for j in range(knum)])
-    d_lo, d_hi = ntt.ntt_fwd_batched(digits, n, chunk=digit_chunk)  # [knum, n]
+    batch = raw.shape[:-2]
+    digits = jnp.stack([ntt.extract_digit(raw, w, j, w32)
+                        for j in range(knum)])  # [knum, ..., raw_len]
+    d_lo, d_hi = ntt.ntt_fwd_batched(digits, n, chunk=digit_chunk)
 
     def step(acc, xs):
         dl, dh, el, eh = xs
-        prod = modp.mul_modp((dl[None, :], dh[None, :]), (el, eh))
+        prod = modp.mul_modp((dl[..., None, :], dh[..., None, :]), (el, eh))
         acc = modp.add_modp(acc, prod)
         return acc, None
 
-    init = (jnp.zeros((pnum, n), jnp.uint32), jnp.zeros((pnum, n), jnp.uint32))
+    init = (jnp.zeros(batch + (pnum, n), jnp.uint32),
+            jnp.zeros(batch + (pnum, n), jnp.uint32))
     xs = (d_lo, d_hi, ek_lo[:knum, :pnum], ek_hi[:knum, :pnum])
     (acc_lo, acc_hi), _ = jax.lax.scan(step, init, xs)
     return acc_lo, acc_hi

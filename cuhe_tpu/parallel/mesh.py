@@ -59,15 +59,14 @@ def batched_and_relin_modswitch(ctx: Context, lvl: int):
     knum = pr.num_eval_key_lvl(lvl)
     w = pr.log_relin
     n = ctx.n
-    half = n // 2
     mod_len = ctx.mod_len
-    primes = ctx.primes_np[:pn]
-    mus = (ctx.mus_np[0][:pn], ctx.mus_np[1][:pn])
-    m_words, mi_words, bi = ctx._icrt[lvl]
-    u_ntt = (ctx.u_ntt[0][:pn], ctx.u_ntt[1][:pn])
-    m_ntt = (ctx.m_ntt[0][:pn], ctx.m_ntt[1][:pn])
-    m_crt = ctx.m_crt_np[:pn]
-    invp_last = ctx.invp_np[pn - 1, : pn - 1]
+    pj = ctx.j_primes[:pn]
+    muj = (ctx.j_mus[0][:pn], ctx.j_mus[1][:pn])
+    m_words, mi_words, bi = ctx.j_icrt[lvl]
+    u_ntt = (ctx.j_u_ntt[0][:pn], ctx.j_u_ntt[1][:pn])
+    m_ntt = (ctx.j_m_ntt[0][:pn], ctx.j_m_ntt[1][:pn])
+    m_crt = ctx.j_m_crt[:pn]
+    invp_last = ctx.j_invp[pn - 1, : pn - 1]
     if ctx.ek_ntt is None:
         raise RuntimeError("eval keys not initialised")
     ek_lo, ek_hi = ctx.ek_ntt
@@ -76,8 +75,6 @@ def batched_and_relin_modswitch(ctx: Context, lvl: int):
     from ..ops import crt as crt_ops
 
     def step(a_lo, a_hi, b_lo, b_hi):
-        pj = jnp.asarray(primes)
-        muj = (jnp.asarray(mus[0]), jnp.asarray(mus[1]))
         p_col = pj[:, None]
         mu_col = (muj[0][:, None], muj[1][:, None])
         # AND: pointwise multiply in NTT domain
@@ -85,29 +82,20 @@ def batched_and_relin_modswitch(ctx: Context, lvl: int):
         # n2c with product degree: INTT + Barrett
         full = ntt.intt_modcrt(prod, n, p_col, mu_col)
         red = barrett_ops.barrett_reduce(
-            full, mod_len=mod_len, n=n,
-            u_ntt=(jnp.asarray(u_ntt[0]), jnp.asarray(u_ntt[1])),
-            m_ntt=(jnp.asarray(m_ntt[0]), jnp.asarray(m_ntt[1])),
-            m_crt=jnp.asarray(m_crt), primes=pj, mus=muj)
+            full, mod_len=mod_len, n=n, u_ntt=u_ntt, m_ntt=m_ntt,
+            m_crt=m_crt, primes=pj, mus=muj)
         # c2r (ICRT) to extract relinearization digits
-        raw = crt_ops.icrt_to_raw(red, pj, muj, jnp.asarray(bi),
-                                  jnp.asarray(mi_words), jnp.asarray(m_words))
-        # relinearize: digit NTTs + eval-key contraction
-        def relin_one(r):
-            return relin_ops.relinearize(r, jnp.asarray(ek_lo),
-                                         jnp.asarray(ek_hi),
-                                         w=w, knum=knum, pnum=pn, n=n)
-        r_lo, r_hi = jax.vmap(relin_one)(raw)
+        raw = crt_ops.icrt_to_raw(red, pj, muj, bi, mi_words, m_words)
+        # relinearize (batch-generic): digit NTTs + eval-key contraction
+        r_lo, r_hi = relin_ops.relinearize(raw, ek_lo, ek_hi,
+                                           w=w, knum=knum, pnum=pn, n=n)
         # n2c of the relinearized product (Barrett again)
         full2 = ntt.intt_modcrt((r_lo, r_hi), n, p_col, mu_col)
         red2 = barrett_ops.barrett_reduce(
-            full2, mod_len=mod_len, n=n,
-            u_ntt=(jnp.asarray(u_ntt[0]), jnp.asarray(u_ntt[1])),
-            m_ntt=(jnp.asarray(m_ntt[0]), jnp.asarray(m_ntt[1])),
-            m_crt=jnp.asarray(m_crt), primes=pj, mus=muj)
+            full2, mod_len=mod_len, n=n, u_ntt=u_ntt, m_ntt=m_ntt,
+            m_crt=m_crt, primes=pj, mus=muj)
         # modswitch down one level
-        return pw.mod_switch(red2, pj, muj, jnp.asarray(invp_last),
-                             pr.mod_msg)
+        return pw.mod_switch(red2, pj, muj, invp_last, pr.mod_msg)
 
     return step
 

@@ -10,7 +10,6 @@ TPU-side validation happens in bench.py which runs on the real chip.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,6 +17,13 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax
+
+# NOTE: under the axon TPU tunnel the JAX_PLATFORMS env var is ignored, so
+# pin the platform through the config API (set CUHE_TEST_TPU=1 to run the
+# numeric suite on the real chip instead).
+if not os.environ.get("CUHE_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 
