@@ -2,14 +2,18 @@
 
 Replaces the reference's global constant-memory / texture state and init path
 (initCuHE -> initNtt / initCrt / initBarrett, cuhe/CuHE.cu:36-50,
-cuhe/Operations.cu:161-242) with a single immutable Context object.  Tables
-are plain (numpy-backed) arrays; under pjit/GSPMD they are replicated to all
-chips, which supersedes the per-device texture binds and peer copies
-(Base.cu:58-223).
+cuhe/Operations.cu:161-242) with a single immutable Context object.
 
 All domain conversions of the reference's CuPolynomial state machine
 (z2r/r2c/c2n/n2c/c2r/r2z, CuHE.cu:317-464) live here as level-indexed jitted
 functions.
+
+Table-passing policy (important for remote-device tunnels):
+  * small tables (primes, Barrett mus, ICRT words, prime-inverse rows) are
+    closed over as host numpy arrays -> embedded as (small) HLO constants;
+  * large tables (eval keys, Barrett u/m NTT planes) are device-resident jax
+    arrays passed as runtime ARGUMENTS and sliced inside the jit, so they are
+    neither baked into the program nor fetched back at lowering time.
 """
 
 from __future__ import annotations
@@ -79,13 +83,11 @@ class Context:
         for lvl in range(pr.depth):
             q, mi, bi = pr.icrt_consts(lvl)
             w = pr.words_coeff(lvl)
-            pn = pr.num_crt_prime_lvl(lvl)
             m_words = hm.ints_to_words([q], w)[:, 0]
             mi_words = np.stack([hm.ints_to_words([v], w)[:, 0] for v in mi])
-            self._icrt[lvl] = (m_words, mi_words,
-                               np.array(bi, dtype=np.uint32))
+            self._icrt[lvl] = (m_words, mi_words, np.array(bi, dtype=np.uint32))
 
-        # NTT tables (shared, cached)
+        # NTT twiddle tables (host precompute, embedded as HLO constants)
         ntt.get_tables(self.n)
 
         # Barrett tables: m - x^mod_len and u = x^(2*mod_len-1) div m,
@@ -103,8 +105,6 @@ class Context:
         def residue_planes(per_p):
             out = np.zeros((pnum, half), dtype=np.uint32)
             for i, v in enumerate(per_p):
-                # m has mod_len+1 coeffs but its x^mod_len term was zeroed
-                # (m - x^n); clip to the plane length.
                 k = min(len(v), half)
                 assert not np.any(v[k:]), "non-zero coefficients clipped"
                 out[i, :k] = v[:k].astype(np.uint32)
@@ -112,149 +112,174 @@ class Context:
 
         self.m_crt_np = residue_planes(m_per_p)
         u_crt_np = residue_planes(u_per_p)
-        m_ntt = ntt.ntt_fwd_u32(jnp.asarray(self.m_crt_np), self.n)
-        u_ntt = ntt.ntt_fwd_u32(jnp.asarray(u_crt_np), self.n)
-        self.m_ntt = (np.asarray(m_ntt[0]), np.asarray(m_ntt[1]))
-        self.u_ntt = (np.asarray(u_ntt[0]), np.asarray(u_ntt[1]))
+        # one jitted program (eager op-by-op execution is pathological over
+        # remote-device tunnels); results stay device-resident
+        fwd = jax.jit(lambda v: ntt.ntt_fwd_u32(v, self.n))
+        self.m_ntt = fwd(jnp.asarray(self.m_crt_np))   # device pair
+        self.u_ntt = fwd(jnp.asarray(u_crt_np))        # device pair
+        self.m_crt_dev = jax.device_put(self.m_crt_np)
 
-        # eval keys (set by dhs.init_relinearization)
+        # eval keys (set by dhs.init_relinearization): device pair
         self.ek_ntt: tuple | None = None
-
-        # Device-resident table bundle: jnp arrays created eagerly so jitted
-        # closures capture them as executable parameters, never HLO literals
-        # (the axon compile tunnel rejects oversized programs).
-        with jax.ensure_compile_time_eval():
-            self.j_primes = jnp.asarray(self.primes_np)
-            self.j_mus = (jnp.asarray(self.mus_np[0]),
-                          jnp.asarray(self.mus_np[1]))
-            self.j_invp = jnp.asarray(self.invp_np)
-            self.j_icrt = {
-                lvl: tuple(jnp.asarray(a) for a in self._icrt[lvl])
-                for lvl in range(pr.depth)
-            }
-            self.j_m_crt = jnp.asarray(self.m_crt_np)
-            self.j_m_ntt = (jnp.asarray(self.m_ntt[0]), jnp.asarray(self.m_ntt[1]))
-            self.j_u_ntt = (jnp.asarray(self.u_ntt[0]), jnp.asarray(self.u_ntt[1]))
 
     # ---- convenience views ----
     @property
     def primes(self):
-        return self.j_primes
+        return jnp.asarray(self.primes_np)
 
     def mus(self):
-        return self.j_mus
+        return (jnp.asarray(self.mus_np[0]), jnp.asarray(self.mus_np[1]))
+
+    def _np_consts(self, lvl: int):
+        pn = self.params.num_crt_prime_lvl(lvl)
+        return (pn, self.primes_np[:pn],
+                (self.mus_np[0][:pn], self.mus_np[1][:pn]))
+
+    def barrett_args(self):
+        """Device-resident big-table args: (u_lo, u_hi, m_lo, m_hi, m_crt)."""
+        return (self.u_ntt[0], self.u_ntt[1], self.m_ntt[0], self.m_ntt[1],
+                self.m_crt_dev)
 
     # ------------------------------------------------------------------
     # jitted per-level conversion ops (CuPolynomial state machine)
     # ------------------------------------------------------------------
-    def _lvl_consts(self, lvl: int):
-        pn = self.params.num_crt_prime_lvl(lvl)
-        primes = self.j_primes[:pn]
-        mus = (self.j_mus[0][:pn], self.j_mus[1][:pn])
-        return pn, primes, mus
-
     @lru_cache(maxsize=None)
-    def _jit_r2c(self, lvl: int):
-        _, primes, mus = self._lvl_consts(lvl)
+    def _jitted_r2c(self, lvl: int):
+        _, primes, mus = self._np_consts(lvl)
 
         def f(raw):
-            return crt_ops.crt_from_raw(raw, primes, mus)
+            return crt_ops.crt_from_raw(raw, jnp.asarray(primes),
+                                        (jnp.asarray(mus[0]),
+                                         jnp.asarray(mus[1])))
         return jax.jit(f)
 
+    def _jit_r2c(self, lvl: int):
+        return self._jitted_r2c(lvl)
+
     @lru_cache(maxsize=None)
-    def _jit_c2r(self, lvl: int):
-        _, primes, mus = self._lvl_consts(lvl)
-        m_words, mi_words, bi = self.j_icrt[lvl]
+    def _jitted_c2r(self, lvl: int):
+        _, primes, mus = self._np_consts(lvl)
+        m_words, mi_words, bi = self._icrt[lvl]
 
         def f(c):
-            return crt_ops.icrt_to_raw(c, primes, mus, bi, mi_words, m_words)
+            return crt_ops.icrt_to_raw(
+                c, jnp.asarray(primes),
+                (jnp.asarray(mus[0]), jnp.asarray(mus[1])),
+                jnp.asarray(bi), jnp.asarray(mi_words), jnp.asarray(m_words))
         return jax.jit(f)
 
+    def _jit_c2r(self, lvl: int):
+        return self._jitted_c2r(lvl)
+
     @lru_cache(maxsize=None)
-    def _jit_c2n(self, lvl: int):
+    def _jitted_c2n(self, lvl: int):
         n = self.n
 
         def f(c):
             return ntt.ntt_fwd_batched(c, n)
         return jax.jit(f)
 
+    def _jit_c2n(self, lvl: int):
+        return self._jitted_c2n(lvl)
+
     @lru_cache(maxsize=None)
-    def _jit_n2c(self, lvl: int, is_prod: bool):
-        pn, primes, mus = self._lvl_consts(lvl)
+    def _jitted_n2c(self, lvl: int, is_prod: bool):
+        pn, primes, mus = self._np_consts(lvl)
         n = self.n
         half = n // 2
         mod_len = self.mod_len
-        u_ntt = (self.j_u_ntt[0][:pn], self.j_u_ntt[1][:pn])
-        m_ntt = (self.j_m_ntt[0][:pn], self.j_m_ntt[1][:pn])
-        m_crt = self.j_m_crt[:pn]
 
-        def f(x_pair):
-            p_col = primes[:, None]
-            mu_col = (mus[0][:, None], mus[1][:, None])
-            full = ntt.intt_modcrt(x_pair, n, p_col, mu_col)
+        def f(x_pair, u_lo, u_hi, m_lo, m_hi, m_crt):
+            pj = jnp.asarray(primes)
+            muj = (jnp.asarray(mus[0]), jnp.asarray(mus[1]))
+            full = ntt.intt_modcrt(x_pair, n, pj[:, None],
+                                   (muj[0][:, None], muj[1][:, None]))
             if not is_prod:
                 return full[..., :half]
             return barrett_ops.barrett_reduce(
-                full, mod_len=mod_len, n=n, u_ntt=u_ntt, m_ntt=m_ntt,
-                m_crt=m_crt, primes=primes, mus=mus)
+                full, mod_len=mod_len, n=n,
+                u_ntt=(u_lo[:pn], u_hi[:pn]), m_ntt=(m_lo[:pn], m_hi[:pn]),
+                m_crt=m_crt[:pn], primes=pj, mus=muj)
         return jax.jit(f)
 
+    def _jit_n2c(self, lvl: int, is_prod: bool):
+        jf = self._jitted_n2c(lvl, is_prod)
+        return lambda x_pair: jf(x_pair, *self.barrett_args())
+
     @lru_cache(maxsize=None)
-    def _jit_mod_switch(self, lvl: int):
-        pn, primes, mus = self._lvl_consts(lvl)
-        invp_last = self.j_invp[pn - 1, : pn - 1]
+    def _jitted_mod_switch(self, lvl: int):
+        pn, primes, mus = self._np_consts(lvl)
+        invp_last = self.invp_np[pn - 1, : pn - 1]
         mod_msg = self.params.mod_msg
 
         def f(c):
-            return pw.mod_switch(c, primes, mus, invp_last, mod_msg)
+            return pw.mod_switch(c, jnp.asarray(primes),
+                                 (jnp.asarray(mus[0]), jnp.asarray(mus[1])),
+                                 jnp.asarray(invp_last), mod_msg)
         return jax.jit(f)
 
+    def _jit_mod_switch(self, lvl: int):
+        return self._jitted_mod_switch(lvl)
+
     @lru_cache(maxsize=None)
-    def _jit_relin(self, lvl: int):
-        if self.ek_ntt is None:
-            raise RuntimeError("relinearization keys not initialised")
+    def _jitted_relin(self, lvl: int):
         pr = self.params
         pn = pr.num_crt_prime_lvl(lvl)
         knum = pr.num_eval_key_lvl(lvl)
         w = pr.log_relin
         n = self.n
-        ek_lo, ek_hi = self.ek_ntt
 
-        def f(raw):
+        def f(raw, ek_lo, ek_hi):
             return relin_ops.relinearize(raw, ek_lo, ek_hi,
                                          w=w, knum=knum, pnum=pn, n=n)
         return jax.jit(f)
 
-    @lru_cache(maxsize=None)
-    def _jit_mul_one_many(self, lvl: int, chunk: int):
-        """Batched raw_b[chunk] x ntt_a -> raw product pipeline (keygen)."""
-        pn, primes, mus = self._lvl_consts(lvl)
-        n = self.n
-        m_words, mi_words, bi = self.j_icrt[lvl]
-        mod_len = self.mod_len
-        u_ntt = (self.j_u_ntt[0][:pn], self.j_u_ntt[1][:pn])
-        m_ntt = (self.j_m_ntt[0][:pn], self.j_m_ntt[1][:pn])
-        m_crt = self.j_m_crt[:pn]
+    def _jit_relin(self, lvl: int):
+        if self.ek_ntt is None:
+            raise RuntimeError("relinearization keys not initialised")
+        jf = self._jitted_relin(lvl)
+        return lambda raw: jf(raw, self.ek_ntt[0], self.ek_ntt[1])
 
-        def one(raw_b, a_pair):
-            c = crt_ops.crt_from_raw(raw_b, primes, mus)
+    @lru_cache(maxsize=None)
+    def _jitted_mul_one_many(self, lvl: int, chunk: int):
+        """Batched raw_b[chunk] x ntt_a -> raw product pipeline (keygen)."""
+        pn, primes, mus = self._np_consts(lvl)
+        n = self.n
+        m_words, mi_words, bi = self._icrt[lvl]
+        mod_len = self.mod_len
+
+        def one(raw_b, a_pair, u_lo, u_hi, m_lo, m_hi, m_crt):
+            pj = jnp.asarray(primes)
+            muj = (jnp.asarray(mus[0]), jnp.asarray(mus[1]))
+            c = crt_ops.crt_from_raw(raw_b, pj, muj)
             b_pair = ntt.ntt_fwd_u32(c, n)
             prod = modp.mul_modp(b_pair, a_pair)
-            full = ntt.intt_modcrt(prod, n, primes[:, None],
-                                   (mus[0][:, None], mus[1][:, None]))
+            full = ntt.intt_modcrt(prod, n, pj[:, None],
+                                   (muj[0][:, None], muj[1][:, None]))
             red = barrett_ops.barrett_reduce(
-                full, mod_len=mod_len, n=n, u_ntt=u_ntt, m_ntt=m_ntt,
-                m_crt=m_crt, primes=primes, mus=mus)
-            return crt_ops.icrt_to_raw(red, primes, mus, bi, mi_words, m_words)
+                full, mod_len=mod_len, n=n,
+                u_ntt=(u_lo[:pn], u_hi[:pn]), m_ntt=(m_lo[:pn], m_hi[:pn]),
+                m_crt=m_crt[:pn], primes=pj, mus=muj)
+            return crt_ops.icrt_to_raw(
+                red, pj, muj, jnp.asarray(bi), jnp.asarray(mi_words),
+                jnp.asarray(m_words))
 
-        def f(raw_batch, a_pair):
-            return jax.lax.map(lambda r: one(r, a_pair), raw_batch)
+        def f(raw_batch, a_pair, u_lo, u_hi, m_lo, m_hi, m_crt):
+            return jax.lax.map(
+                lambda r: one(r, a_pair, u_lo, u_hi, m_lo, m_hi, m_crt),
+                raw_batch)
         return jax.jit(f)
 
-    def set_eval_keys(self, ek_lo: np.ndarray, ek_hi: np.ndarray):
+    def _jit_mul_one_many(self, lvl: int, chunk: int):
+        jf = self._jitted_mul_one_many(lvl, chunk)
+        return lambda raw_batch, a_pair: jf(raw_batch, a_pair,
+                                            *self.barrett_args())
+
+    def set_eval_keys(self, ek_lo, ek_hi):
         """Install NTT-domain eval keys [num_eval_key, pnum, ntt_len],
         device-resident (supersedes the reference's pinned-host streaming,
         Relinearization.cu:43-88)."""
-        with jax.ensure_compile_time_eval():
-            self.ek_ntt = (jnp.asarray(ek_lo), jnp.asarray(ek_hi))
-        self._jit_relin.cache_clear()
+        self.ek_ntt = (jax.device_put(ek_lo) if isinstance(ek_lo, np.ndarray)
+                       else ek_lo,
+                       jax.device_put(ek_hi) if isinstance(ek_hi, np.ndarray)
+                       else ek_hi)

@@ -264,13 +264,15 @@ class CuDHS:
     def init_relinearization(self):
         """initRelin (Relinearization.cu:43-73): eval keys -> NTT domain,
         device-resident [num_eval_key, pnum, ntt_len]."""
-        pr = self.params
+        import jax.numpy as jnp
+
         los, his = [], []
         for eki in self.ek:
             ct = poly.to_ntt(self.ctx, poly.ctxt_from_ints(eki, 0))
-            los.append(np.asarray(ct.data[0]))
-            his.append(np.asarray(ct.data[1]))
-        self.ctx.set_eval_keys(np.stack(los), np.stack(his))
+            los.append(ct.data[0])
+            his.append(ct.data[1])
+        # stack on device; avoids host round-trips of every eval key
+        self.ctx.set_eval_keys(jnp.stack(los), jnp.stack(his))
 
     # ------------------------------------------------------------------
     # primitives (DHS.cu:212-270)

@@ -177,63 +177,86 @@ class Prince:
     # ------------------------------------------------------------------
     # S-box layers (device, jitted per level)
     # ------------------------------------------------------------------
+    def table_args(self):
+        """Device-resident big tables threaded through every jitted layer."""
+        ctx = self.ctx
+        return dict(ek_lo=ctx.ek_ntt[0], ek_hi=ctx.ek_ntt[1],
+                    u_lo=ctx.u_ntt[0], u_hi=ctx.u_ntt[1],
+                    m_lo=ctx.m_ntt[0], m_hi=ctx.m_ntt[1],
+                    m_crt=ctx.m_crt_dev)
+
     def _layer_consts(self, lvl):
         ctx = self.ctx
         pr = ctx.params
         pn = pr.num_crt_prime_lvl(lvl)
         return dict(
             pn=pn,
-            primes=ctx.j_primes[:pn],
-            mus=(ctx.j_mus[0][:pn], ctx.j_mus[1][:pn]),
-            icrt=ctx.j_icrt[lvl],
-            u_ntt=(ctx.j_u_ntt[0][:pn], ctx.j_u_ntt[1][:pn]),
-            m_ntt=(ctx.j_m_ntt[0][:pn], ctx.j_m_ntt[1][:pn]),
-            m_crt=ctx.j_m_crt[:pn],
-            invp_last=ctx.j_invp[pn - 1, : pn - 1],
+            primes=ctx.primes_np[:pn],
+            mus=(ctx.mus_np[0][:pn], ctx.mus_np[1][:pn]),
+            icrt=ctx._icrt[lvl],
+            invp_last=ctx.invp_np[pn - 1, : pn - 1],
             knum=pr.num_eval_key_lvl(lvl),
         )
 
     def _ops(self, lvl):
-        """Closures for level-lvl primitives over batched arrays."""
+        """Closures for level-lvl primitives over batched arrays.
+
+        Each closure takes the device table bundle `tb` (see table_args) as
+        its last argument so large tables stay jit parameters.
+        """
         ctx = self.ctx
         pr = ctx.params
         n = ctx.n
         cst = self._layer_consts(lvl)
-        pj = cst["primes"]
-        muj = cst["mus"]
-        p_col = pj[:, None]
-        mu_col = (muj[0][:, None], muj[1][:, None])
+        pn = cst["pn"]
+        primes_np = cst["primes"]
+        mus_np = cst["mus"]
         m_words, mi_words, bi = cst["icrt"]
+        invp_np = cst["invp_last"]
 
-        def c2n(c):
+        def consts():
+            pj = jnp.asarray(primes_np)
+            muj = (jnp.asarray(mus_np[0]), jnp.asarray(mus_np[1]))
+            return pj, muj
+
+        def c2n(c, tb):
             return ntt.ntt_fwd_batched(c, n, chunk=8)
 
-        def n2c_prod(pair):
-            full = ntt.intt_modcrt(pair, n, p_col, mu_col)
+        def n2c_prod(pair, tb):
+            pj, muj = consts()
+            full = ntt.intt_modcrt(pair, n, pj[:, None],
+                                   (muj[0][:, None], muj[1][:, None]))
             return barrett_ops.barrett_reduce(
                 full, mod_len=ctx.mod_len, n=n,
-                u_ntt=cst["u_ntt"], m_ntt=cst["m_ntt"],
-                m_crt=cst["m_crt"], primes=pj, mus=muj)
+                u_ntt=(tb["u_lo"][:pn], tb["u_hi"][:pn]),
+                m_ntt=(tb["m_lo"][:pn], tb["m_hi"][:pn]),
+                m_crt=tb["m_crt"][:pn], primes=pj, mus=muj)
 
-        def raw_of(c):
-            return crt_ops.icrt_to_raw(c, pj, muj, bi, mi_words, m_words)
+        def raw_of(c, tb):
+            pj, muj = consts()
+            return crt_ops.icrt_to_raw(c, pj, muj, jnp.asarray(bi),
+                                       jnp.asarray(mi_words),
+                                       jnp.asarray(m_words))
 
-        def raw_of_prod(pair):
-            return raw_of(n2c_prod(pair))
+        def raw_of_prod(pair, tb):
+            return raw_of(n2c_prod(pair, tb), tb)
 
-        def relin_raw(raw):
-            ek_lo, ek_hi = ctx.ek_ntt
-            pair = relin_ops.relinearize(raw, ek_lo, ek_hi, w=pr.log_relin,
-                                         knum=cst["knum"], pnum=cst["pn"], n=n)
-            return n2c_prod(pair)
+        def relin_raw(raw, tb):
+            pair = relin_ops.relinearize(raw, tb["ek_lo"], tb["ek_hi"],
+                                         w=pr.log_relin,
+                                         knum=cst["knum"], pnum=pn, n=n)
+            return n2c_prod(pair, tb)
 
-        def modswitch(c):
-            return pw.mod_switch(c, pj, muj, cst["invp_last"], pr.mod_msg)
+        def modswitch(c, tb):
+            pj, muj = consts()
+            return pw.mod_switch(c, pj, muj, jnp.asarray(invp_np), pr.mod_msg)
 
-        def cadd(x, y):
+        def cadd(x, y, tb=None):
+            pj, _ = consts()
             return pw.crt_add(x, y, pj)
 
-        def cnot(x):
+        def cnot(x, tb=None):
+            pj, _ = consts()
             v = (x[..., :, 0] + jnp.uint32(pr.mod_msg - 1)) % pj[None, :]
             return x.at[..., :, 0].set(v)
 
@@ -253,11 +276,11 @@ class Prince:
         o1 = self._ops(lvl + 1)
         mul = modp.mul_modp
 
-        def layer(state):
+        def layer(state, tb):
             # state: [64, pn, clen] CRT at lvl; nibble bits a,b,c,d
             abcd = jnp.stack([state[0::4], state[1::4], state[2::4],
                               state[3::4]])  # [4, 16, pn, clen]
-            nt = o0["c2n"](abcd)
+            nt = o0["c2n"](abcd, tb)
             A = (nt[0][0], nt[1][0])
             B = (nt[0][1], nt[1][1])
             C = (nt[0][2], nt[1][2])
@@ -268,17 +291,17 @@ class Prince:
             # relin ab & cd (batched as [2*16]); others just reduced
             rl_in = (jnp.concatenate([prods["ab"][0], prods["cd"][0]]),
                      jnp.concatenate([prods["ab"][1], prods["cd"][1]]))
-            rl = o0["relin"](o0["raw_of_prod"](rl_in))
+            rl = o0["relin"](o0["raw_of_prod"](rl_in, tb), tb)
             ab_c, cd_c = rl[:16], rl[16:]
             ot_in = (jnp.concatenate([prods[k][0] for k in ("ac", "ad", "bc", "bd")]),
                      jnp.concatenate([prods[k][1] for k in ("ac", "ad", "bc", "bd")]))
-            ot_c = o0["n2c_prod"](ot_in)
+            ot_c = o0["n2c_prod"](ot_in, tb)
             ac_c, ad_c, bc_c, bd_c = (ot_c[0:16], ot_c[16:32],
                                       ot_c[32:48], ot_c[48:64])
             # modswitch everything to lvl+1
             stack = jnp.concatenate([ab_c, cd_c, ac_c, ad_c, bc_c, bd_c,
                                      abcd[0], abcd[1], abcd[2], abcd[3]])
-            sw = o0["modswitch"](stack)
+            sw = o0["modswitch"](stack, tb)
             (ab1, cd1, ac1, ad1, bc1, bd1, a1, b1, c1, d1) = (
                 sw[16 * i: 16 * (i + 1)] for i in range(10))
 
@@ -300,7 +323,7 @@ class Prince:
 
             # cubic terms at lvl+1: ntt of a,b,c,d,ab,cd
             six = jnp.concatenate([a1, b1, c1, d1, ab1, cd1])
-            nt6 = o1["c2n"](six)
+            nt6 = o1["c2n"](six, tb)
             A1 = (nt6[0][0:16], nt6[1][0:16])
             B1 = (nt6[0][16:32], nt6[1][16:32])
             C1 = (nt6[0][32:48], nt6[1][32:48])
@@ -313,7 +336,7 @@ class Prince:
             abc = mul(AB1, C1)
             cubic = (jnp.concatenate([abd[0], acd[0], bcd[0], abc[0]]),
                      jnp.concatenate([abd[1], acd[1], bcd[1], abc[1]]))
-            cub_c = o1["n2c_prod"](cubic)
+            cub_c = o1["n2c_prod"](cubic, tb)
             abd_c, acd_c, bcd_c, abc_c = (cub_c[0:16], cub_c[16:32],
                                           cub_c[32:48], cub_c[48:64])
             if not inverse:
@@ -329,8 +352,8 @@ class Prince:
 
             # final relin + modswitch of the four outputs -> lvl+2
             outs = jnp.concatenate([out0, out1, out2, out3])
-            outs = o1["relin"](o1["raw_of"](outs))
-            outs = o1["modswitch"](outs)
+            outs = o1["relin"](o1["raw_of"](outs, tb), tb)
+            outs = o1["modswitch"](outs, tb)
             out0, out1, out2, out3 = (outs[0:16], outs[16:32],
                                       outs[32:48], outs[48:64])
             # reassemble [64] in nibble order
@@ -344,7 +367,7 @@ class Prince:
         if key not in self._layer_cache:
             self._layer_cache[key] = jax.jit(
                 self._build_sbox_layer(self.level, inverse))
-        out = self._layer_cache[key](state)
+        out = self._layer_cache[key](state, self.table_args())
         self.level += 2
         return out
 

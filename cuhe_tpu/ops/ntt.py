@@ -110,20 +110,6 @@ class NttTables:
         ninv = hm.modinv(n, P)
         self.ninv = (ninv & 0xFFFFFFFF, ninv >> 32)
 
-        # Device-resident versions, created eagerly (never inside a trace) so
-        # jitted users capture them as executable parameters rather than HLO
-        # literals -- keeps compiled-program uploads small.
-        import jax as _jax
-        with _jax.ensure_compile_time_eval():
-            as_bf16 = lambda a: jnp.asarray(a, dtype=jnp.bfloat16)
-            self.j_w1t_half = as_bf16(self.w1t_half)
-            self.j_w1t_full = as_bf16(self.w1t_full)
-            self.j_w2 = as_bf16(self.w2)
-            self.j_w1t_inv = as_bf16(self.w1t_inv)
-            self.j_w2_inv = as_bf16(self.w2_inv)
-            self.j_twt = (jnp.asarray(self.twt[0]), jnp.asarray(self.twt[1]))
-            self.j_twt_inv = (jnp.asarray(self.twt_inv[0]),
-                              jnp.asarray(self.twt_inv[1]))
 
 
 @lru_cache(maxsize=None)
@@ -135,13 +121,19 @@ def get_tables(n: int) -> NttTables:
 # exact modular matmul on the MXU
 # ---------------------------------------------------------------------------
 
-def _matmul_modp(x_limbs: list, w_limbs: jnp.ndarray):
+def _const_pair(np_pair):
+    return (jnp.asarray(np_pair[0]), jnp.asarray(np_pair[1]))
+
+
+def _matmul_modp(x_limbs: list, w_limbs) -> tuple:
     """sum_j X[..., m, j] * W[j, n] mod P.
 
     x_limbs: list of uint32 arrays [..., m, j] with byte values (LSB first).
-    w_limbs: bf16 [Lw, j, n] byte limbs of the twiddle matrix.
+    w_limbs: f32 numpy [Lw, j, n] byte limbs of the twiddle matrix (embedded
+    as bf16 constants at trace time).
     Returns a canonical pair [..., m, n].
     """
+    w_limbs = jnp.asarray(w_limbs, dtype=jnp.bfloat16)
     lw = w_limbs.shape[0]
     xl = jnp.stack([l.astype(jnp.bfloat16) for l in x_limbs], axis=-3)
     # S[..., a, l, m, n] exact in f32: bound 256 * 255^2 < 2^24
@@ -172,10 +164,10 @@ def ntt_fwd_u32(x: jnp.ndarray, n: int):
     n1, n2 = t.n1, t.n2
     xm = x.reshape(x.shape[:-1] + (n1 // 2, n2))
     xt = jnp.swapaxes(xm, -1, -2)  # [..., j2, j1]
-    bt = _matmul_modp(modp.u32_to_limbs4(xt), t.j_w1t_half)  # [..., j2, k1]
-    c = modp.mul_modp(bt, t.j_twt)
+    bt = _matmul_modp(modp.u32_to_limbs4(xt), t.w1t_half)  # [..., j2, k1]
+    c = modp.mul_modp(bt, _const_pair(t.twt))
     ct = (jnp.swapaxes(c[0], -1, -2), jnp.swapaxes(c[1], -1, -2))  # [..., k1, j2]
-    d = _matmul_modp(modp.pair_to_limbs8(ct), t.j_w2)  # [..., k1, k2]
+    d = _matmul_modp(modp.pair_to_limbs8(ct), t.w2)  # [..., k1, k2]
     out = (jnp.swapaxes(d[0], -1, -2).reshape(x.shape[:-1] + (n,)),
            jnp.swapaxes(d[1], -1, -2).reshape(x.shape[:-1] + (n,)))
     return out
@@ -189,10 +181,10 @@ def ntt_fwd_pair(x_pair, n: int):
     shape = lo.shape[:-1]
     xm = (lo.reshape(shape + (n1, n2)), hi.reshape(shape + (n1, n2)))
     xt = (jnp.swapaxes(xm[0], -1, -2), jnp.swapaxes(xm[1], -1, -2))
-    bt = _matmul_modp(modp.pair_to_limbs8(xt), t.j_w1t_full)
-    c = modp.mul_modp(bt, t.j_twt)
+    bt = _matmul_modp(modp.pair_to_limbs8(xt), t.w1t_full)
+    c = modp.mul_modp(bt, _const_pair(t.twt))
     ct = (jnp.swapaxes(c[0], -1, -2), jnp.swapaxes(c[1], -1, -2))
-    d = _matmul_modp(modp.pair_to_limbs8(ct), t.j_w2)
+    d = _matmul_modp(modp.pair_to_limbs8(ct), t.w2)
     return (jnp.swapaxes(d[0], -1, -2).reshape(shape + (n,)),
             jnp.swapaxes(d[1], -1, -2).reshape(shape + (n,)))
 
@@ -205,10 +197,10 @@ def intt_raw(x_pair, n: int):
     shape = lo.shape[:-1]
     xm = (lo.reshape(shape + (n1, n2)), hi.reshape(shape + (n1, n2)))
     xt = (jnp.swapaxes(xm[0], -1, -2), jnp.swapaxes(xm[1], -1, -2))
-    bt = _matmul_modp(modp.pair_to_limbs8(xt), t.j_w1t_inv)
-    c = modp.mul_modp(bt, t.j_twt_inv)
+    bt = _matmul_modp(modp.pair_to_limbs8(xt), t.w1t_inv)
+    c = modp.mul_modp(bt, _const_pair(t.twt_inv))
     ct = (jnp.swapaxes(c[0], -1, -2), jnp.swapaxes(c[1], -1, -2))
-    d = _matmul_modp(modp.pair_to_limbs8(ct), t.j_w2_inv)
+    d = _matmul_modp(modp.pair_to_limbs8(ct), t.w2_inv)
     return (jnp.swapaxes(d[0], -1, -2).reshape(shape + (n,)),
             jnp.swapaxes(d[1], -1, -2).reshape(shape + (n,)))
 

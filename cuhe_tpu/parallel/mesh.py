@@ -60,21 +60,23 @@ def batched_and_relin_modswitch(ctx: Context, lvl: int):
     w = pr.log_relin
     n = ctx.n
     mod_len = ctx.mod_len
-    pj = ctx.j_primes[:pn]
-    muj = (ctx.j_mus[0][:pn], ctx.j_mus[1][:pn])
-    m_words, mi_words, bi = ctx.j_icrt[lvl]
-    u_ntt = (ctx.j_u_ntt[0][:pn], ctx.j_u_ntt[1][:pn])
-    m_ntt = (ctx.j_m_ntt[0][:pn], ctx.j_m_ntt[1][:pn])
-    m_crt = ctx.j_m_crt[:pn]
-    invp_last = ctx.j_invp[pn - 1, : pn - 1]
+    primes_np = ctx.primes_np[:pn]
+    mus_np = (ctx.mus_np[0][:pn], ctx.mus_np[1][:pn])
+    m_words, mi_words, bi = ctx._icrt[lvl]
+    invp_last = ctx.invp_np[pn - 1, : pn - 1]
     if ctx.ek_ntt is None:
         raise RuntimeError("eval keys not initialised")
-    ek_lo, ek_hi = ctx.ek_ntt
 
     from ..ops import barrett as barrett_ops
     from ..ops import crt as crt_ops
 
-    def step(a_lo, a_hi, b_lo, b_hi):
+    def step(a_lo, a_hi, b_lo, b_hi, ek_lo, ek_hi,
+             u_lo, u_hi, m_lo, m_hi, m_crt_full):
+        pj = jnp.asarray(primes_np)
+        muj = (jnp.asarray(mus_np[0]), jnp.asarray(mus_np[1]))
+        u_ntt = (u_lo[:pn], u_hi[:pn])
+        m_ntt = (m_lo[:pn], m_hi[:pn])
+        m_crt = m_crt_full[:pn]
         p_col = pj[:, None]
         mu_col = (muj[0][:, None], muj[1][:, None])
         # AND: pointwise multiply in NTT domain
@@ -85,7 +87,8 @@ def batched_and_relin_modswitch(ctx: Context, lvl: int):
             full, mod_len=mod_len, n=n, u_ntt=u_ntt, m_ntt=m_ntt,
             m_crt=m_crt, primes=pj, mus=muj)
         # c2r (ICRT) to extract relinearization digits
-        raw = crt_ops.icrt_to_raw(red, pj, muj, bi, mi_words, m_words)
+        raw = crt_ops.icrt_to_raw(red, pj, muj, jnp.asarray(bi),
+                                  jnp.asarray(mi_words), jnp.asarray(m_words))
         # relinearize (batch-generic): digit NTTs + eval-key contraction
         r_lo, r_hi = relin_ops.relinearize(raw, ek_lo, ek_hi,
                                            w=w, knum=knum, pnum=pn, n=n)
@@ -95,16 +98,32 @@ def batched_and_relin_modswitch(ctx: Context, lvl: int):
             full2, mod_len=mod_len, n=n, u_ntt=u_ntt, m_ntt=m_ntt,
             m_crt=m_crt, primes=pj, mus=muj)
         # modswitch down one level
-        return pw.mod_switch(red2, pj, muj, invp_last, pr.mod_msg)
+        return pw.mod_switch(red2, pj, muj, jnp.asarray(invp_last), pr.mod_msg)
 
     return step
 
 
+def step_table_args(ctx: Context):
+    """The device-resident big-table arguments for the flagship step."""
+    return (ctx.ek_ntt[0], ctx.ek_ntt[1]) + ctx.barrett_args()
+
+
 def jit_sharded_step(ctx: Context, lvl: int, mesh: Mesh):
-    """jit the flagship step over a (batch, crt) mesh."""
+    """jit the flagship step over a (batch, crt) mesh.
+
+    Ciphertext operands shard over (batch, crt); tables (eval keys, Barrett
+    planes) are replicated -- or shard their prime axis over "crt" for the
+    eval keys, which are the bulk of the memory.
+    """
     step = batched_and_relin_modswitch(ctx, lvl)
     ct_shard = ciphertext_sharding(mesh)
-    out_spec = NamedSharding(mesh, P("batch", "crt", None))
+    ek_shard = NamedSharding(mesh, P(None, "crt", None))
+    plane_shard = NamedSharding(mesh, P("crt", None))
+    # modswitch drops one prime plane, so the output prime count (pnum-1)
+    # need not divide the crt axis; shard batch only and let GSPMD
+    # redistribute (the reference's analogue: per-level reallocation).
+    out_spec = NamedSharding(mesh, P("batch", None, None))
     return jax.jit(step,
-                   in_shardings=(ct_shard,) * 4,
+                   in_shardings=(ct_shard,) * 4 + (ek_shard, ek_shard)
+                   + (plane_shard,) * 5,
                    out_shardings=out_spec)

@@ -1,0 +1,58 @@
+"""Homomorphic PRINCE demo (TPU port of examples/Prince/test_Prince.cu).
+
+Runs the known-answer evaluation: message A = all zeros, key0 = all ones,
+key1 = all zeros; the decrypted 64-bit ciphertext must equal the published
+trace (Prince.cu:96).  Pass --rounds N to evaluate only the first N S-box
+layers (checked against the per-round vectors) for a quicker smoke run.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from cuhe_tpu.models.prince import Prince
+from cuhe_tpu.utils.timer import OTimer
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rounds", type=int, default=None,
+                    help="stop after N S-box layers (default: full 12)")
+    ap.add_argument("--seed", type=int, default=7)
+    args = ap.parse_args()
+
+    print("---------- Precomputation ----------")
+    t = OTimer(); t.start()
+    p = Prince(seed=args.seed)
+    t.stop(); t.show("heSetup")
+
+    seen = {}
+
+    def check(rd, state, lvl):
+        bits = p.decrypt_state(state, lvl)
+        s = "".join(str(b) for b in bits)
+        seen[rd] = s
+        exp = Prince.EXPECTED_ROUNDS.get(rd)
+        print(f"Round {rd}: {s}")
+        if exp is not None:
+            print("   expected:", exp, "OK" if s == exp else "MISMATCH")
+
+    print("---------- PRINCE ENC ----------")
+    t = OTimer(); t.start()
+    state = p.encrypt_blocks([0] * 64, [1] * 64, [0] * 64,
+                             max_rounds=args.rounds, check=check)
+    t.stop(); t.show("Prince Encryption")
+
+    if args.rounds is None:
+        print("---------- PRINCE DEC ----------")
+        bits = p.decrypt_state(state, p.level)
+        s = "".join(str(b) for b in bits)
+        print(s)
+        print(Prince.EXPECTED_FINAL)
+        print("FINAL:", "OK" if s == Prince.EXPECTED_FINAL else "MISMATCH")
+
+
+if __name__ == "__main__":
+    main()

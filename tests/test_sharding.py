@@ -45,12 +45,13 @@ def test_sharded_step_matches_single_device(small_ctx):
     args = _args(small_ctx, batch=4, rng=rng)
 
     step = pmesh.batched_and_relin_modswitch(small_ctx, lvl=0)
-    want = np.asarray(jax.jit(step)(*map(jnp.asarray, args)))
+    tbl = pmesh.step_table_args(small_ctx)
+    want = np.asarray(jax.jit(step)(*map(jnp.asarray, args), *tbl))
 
     mesh = pmesh.make_mesh(4, 2)
     fstep = pmesh.jit_sharded_step(small_ctx, 0, mesh)
     sh = pmesh.ciphertext_sharding(mesh)
-    dev_args = tuple(jax.device_put(a, sh) for a in args)
+    dev_args = tuple(jax.device_put(a, sh) for a in args) + tbl
     got = fstep(*dev_args)
     assert len(got.sharding.device_set) == 8
     np.testing.assert_array_equal(np.asarray(got), want)
