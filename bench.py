@@ -31,14 +31,14 @@ def log(*a):
 
 def main():
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache)
     import jax
     import jax.numpy as jnp
     from jax import lax
 
     try:
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        if jax.default_backend() == "tpu":  # CPU AOT cache can deadlock
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass
 

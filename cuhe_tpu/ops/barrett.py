@@ -41,7 +41,7 @@ def barrett_reduce(f, *, mod_len: int, n: int, u_ntt, m_ntt, m_crt,
 
     # step 1: c1 = intt(u * ntt(f >> (mod_len-1)))        (deg 2n-2)
     g = f[..., mod_len - 1: mod_len - 1 + half]
-    t1 = ntt.ntt_fwd_u32(g, n)
+    t1 = ntt.ntt_fwd_batched(g, n, chunk=8)
     t1 = modp.mul_modp(t1, u_ntt)
     c1 = ntt.intt_modcrt(t1, n, p_col, mu_col)
 
@@ -51,7 +51,7 @@ def barrett_reduce(f, *, mod_len: int, n: int, u_ntt, m_ntt, m_crt,
 
     # step 3: c2 = intt((m - x^n)_ntt * ntt(c1 >> mod_len))
     h = c1[..., mod_len: mod_len + half]
-    t2 = ntt.ntt_fwd_u32(h, n)
+    t2 = ntt.ntt_fwd_batched(h, n, chunk=8)
     t2 = modp.mul_modp(t2, m_ntt)
     c2 = ntt.intt_modcrt(t2, n, p_col, mu_col)
 

@@ -205,20 +205,48 @@ def intt_raw(x_pair, n: int):
             jnp.swapaxes(d[1], -1, -2).reshape(shape + (n,)))
 
 
-def intt_modcrt(x_pair, n: int, p, mu):
+def intt_modcrt(x_pair, n: int, p, mu, chunk: int = 8):
     """Full inverse NTT with per-plane CRT reduction.
 
     Equivalent to intt_1 -> ntt_2 -> intt_3_modcrt (Base.cu:438-490): scales
     by n^-1 mod P then reduces each value mod the (broadcasted) prime p.
     p: uint32 array broadcastable against [..., n]; mu: matching Barrett pair.
     Returns uint32 [..., n].
+
+    Internally chunks over the total number of transforms so the limb-product
+    intermediates stay bounded regardless of batch shape.
     """
     t = get_tables(n)
-    y = intt_raw(x_pair, n)
-    ninv = (jnp.full(y[0].shape, t.ninv[0], jnp.uint32),
-            jnp.full(y[0].shape, t.ninv[1], jnp.uint32))
-    y = modp.mul_modp(y, ninv)
-    return modp.mod_u32(y, p, mu)
+    lo, hi = x_pair
+    shape = lo.shape
+
+    def finish(y, pc, muc):
+        ninv = (jnp.full(y[0].shape, t.ninv[0], jnp.uint32),
+                jnp.full(y[0].shape, t.ninv[1], jnp.uint32))
+        y = modp.mul_modp(y, ninv)
+        return modp.mod_u32(y, pc, muc)
+
+    # broadcast the prime/mu against the batch, then flatten transforms
+    p_b = jnp.broadcast_to(p, shape[:-1] + (1,)).reshape(-1, 1)
+    mu_b = (jnp.broadcast_to(mu[0], shape[:-1] + (1,)).reshape(-1, 1),
+            jnp.broadcast_to(mu[1], shape[:-1] + (1,)).reshape(-1, 1))
+    flat = (lo.reshape(-1, n), hi.reshape(-1, n))
+    b = flat[0].shape[0]
+    if b <= chunk:
+        out = finish(intt_raw(flat, n), p_b, mu_b)
+        return out.reshape(shape)
+    pad = (-b) % chunk
+    padded = tuple(jnp.pad(a, ((0, pad), (0, 0))) for a in flat)
+    pc = jnp.pad(p_b, ((0, pad), (0, 0)), constant_values=1)
+    mc = tuple(jnp.pad(a, ((0, pad), (0, 0))) for a in mu_b)
+    nchunks = (b + pad) // chunk
+    xs = (padded[0].reshape(nchunks, chunk, n),
+          padded[1].reshape(nchunks, chunk, n),
+          pc.reshape(nchunks, chunk, 1),
+          mc[0].reshape(nchunks, chunk, 1), mc[1].reshape(nchunks, chunk, 1))
+    out = jax.lax.map(
+        lambda v: finish(intt_raw((v[0], v[1]), n), v[2], (v[3], v[4])), xs)
+    return out.reshape(-1, n)[:b].reshape(shape)
 
 
 def extract_digit(raw: jnp.ndarray, w: int, wid: int, w32: int) -> jnp.ndarray:
@@ -236,6 +264,21 @@ def extract_digit(raw: jnp.ndarray, w: int, wid: int, w32: int) -> jnp.ndarray:
     return val & mask
 
 
+def extract_digit_dyn(raw: jnp.ndarray, w: int, wid, w32: int) -> jnp.ndarray:
+    """extract_digit with a *traced* window index (for lax.scan over digits)."""
+    bit = jnp.uint32(w) * wid.astype(jnp.uint32)
+    k = (bit >> jnp.uint32(5)).astype(jnp.int32)
+    sh = bit & jnp.uint32(31)
+    lo = jnp.take(raw, k, axis=-2)
+    hi = jnp.where(k + 1 < w32,
+                   jnp.take(raw, jnp.minimum(k + 1, w32 - 1), axis=-2),
+                   jnp.zeros_like(lo))
+    mask = jnp.uint32((1 << w) - 1) if w < 32 else jnp.uint32(0xFFFFFFFF)
+    val = (lo >> sh) | jnp.where(sh == 0, jnp.uint32(0),
+                                 hi << (jnp.uint32(32) - sh))
+    return val & mask
+
+
 def ntt_from_digit(raw: jnp.ndarray, w: int, wid: int, n: int):
     """Forward NTT of one relinearization digit straight from RAW words."""
     w32 = raw.shape[-2]
@@ -243,15 +286,34 @@ def ntt_from_digit(raw: jnp.ndarray, w: int, wid: int, n: int):
     return ntt_fwd_u32(digit, n)
 
 
+def _use_pallas() -> bool:
+    import os
+
+    return (os.environ.get("CUHE_PALLAS_NTT", "0") == "1"
+            and jax.default_backend() == "tpu")
+
+
 def ntt_fwd_batched(x: jnp.ndarray, n: int, chunk: int = 8):
-    """Memory-bounded batched forward NTT over the leading axis via lax.map."""
-    b = x.shape[0]
+    """Memory-bounded batched forward NTT over the leading axis via lax.map.
+
+    With CUHE_PALLAS_NTT=1 on TPU, routes to the fused Pallas kernel
+    (ops/pallas_kernels.ntt_fwd_pallas) which keeps both stages in VMEM.
+    """
+    shape = x.shape
+    flat = x.reshape((-1, shape[-1]))  # chunk over TOTAL transforms
+    if _use_pallas():
+        from . import pallas_kernels as pk
+
+        lo, hi = pk.ntt_fwd_pallas(flat, n)
+        return (lo.reshape(shape[:-1] + (n,)), hi.reshape(shape[:-1] + (n,)))
+    b = flat.shape[0]
     if b <= chunk:
-        return ntt_fwd_u32(x, n)
-    pad = (-b) % chunk
-    xp = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
-    xc = xp.reshape((xp.shape[0] // chunk, chunk) + xp.shape[1:])
-    lo, hi = jax.lax.map(lambda v: ntt_fwd_u32(v, n), xc)
-    lo = lo.reshape((-1,) + lo.shape[2:])[:b]
-    hi = hi.reshape((-1,) + hi.shape[2:])[:b]
-    return lo, hi
+        lo, hi = ntt_fwd_u32(flat, n)
+    else:
+        pad = (-b) % chunk
+        xp = jnp.pad(flat, ((0, pad), (0, 0)))
+        xc = xp.reshape((xp.shape[0] // chunk, chunk, shape[-1]))
+        lo, hi = jax.lax.map(lambda v: ntt_fwd_u32(v, n), xc)
+        lo = lo.reshape(-1, n)[:b]
+        hi = hi.reshape(-1, n)[:b]
+    return lo.reshape(shape[:-1] + (n,)), hi.reshape(shape[:-1] + (n,))

@@ -118,67 +118,101 @@ def _fwd_tables_np(n: int):
     return limbs8(w1), tw_pair, limbs8(w2), n1, n2
 
 
-def _fwd_kernel(x_ref, w1_ref, twlo_ref, twhi_ref, w2_ref,
-                olo_ref, ohi_ref):
-    x = x_ref[0]                      # [n1h, n2] uint32
-    # ---- stage 1: B[k1, j2] = sum_j1 W1[k1, j1] X[j1, j2]  (mod P) ----
-    w1 = w1_ref[...]                  # [8, n1, n1h] bf16
-    xl = [((x >> jnp.uint32(8 * a)) & jnp.uint32(0xFF)).astype(jnp.bfloat16)
-          for a in range(4)]
-    ts = [None] * 11
-    for a in range(4):
-        for l in range(8):
-            prod = jnp.dot(w1[l], xl[a],
-                           preferred_element_type=jnp.float32).astype(jnp.int32)
-            s = a + l
-            ts[s] = prod if ts[s] is None else ts[s] + prod
-    b = modp.combine_limb_sums(ts)    # pair [n1, n2]
-    # ---- twiddle: C = B * w^(k1 j2) ----
-    c = modp.mul_modp(b, (twlo_ref[...], twhi_ref[...]))
-    # ---- stage 2: D[k1, k2] = sum_j2 C[k1, j2] W2[j2, k2]  (mod P) ----
-    w2 = w2_ref[...]                  # [8, n2, n2] bf16
-    cl = modp.pair_to_limbs8(c)
-    ts2 = [None] * 15
-    for a in range(8):
-        ca = cl[a].astype(jnp.bfloat16)
-        for l in range(8):
-            prod = jnp.dot(ca, w2[l],
-                           preferred_element_type=jnp.float32).astype(jnp.int32)
-            s = a + l
-            ts2[s] = prod if ts2[s] is None else ts2[s] + prod
-    d = modp.combine_limb_sums(ts2)   # pair [n1, n2]
-    # ---- output: out[k1 + n1*k2] = D[k1, k2]  ->  row-major [n2, n1] ----
-    olo_ref[0] = d[0].T
-    ohi_ref[0] = d[1].T
+def _to_bf16(v):
+    # Mosaic has no direct u32->bf16 cast; byte values are exact via i32/f32
+    return v.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+
+
+def _make_fwd_kernel(bt: int, n1: int, n2: int):
+    """Kernel processing `bt` transforms per grid step.
+
+    Matmul strategy: stack limb blocks so each stage issues few LARGE MXU
+    matmuls (small [128,64]-ish dots are pipeline-latency-bound):
+      stage 1:  [8*n1, n1h] @ [n1h, 4*bt*n2]   (one matmul)
+      stage 2:  8 x ([bt*n1, n2] @ [n2, 8*n2])
+    Limb-sum blocks are then sliced out of the products and recombined mod P
+    on the VPU, all in VMEM.
+    """
+    n1h = n1 // 2
+    cols = bt * n2
+
+    def kernel(x_ref, w1s_ref, twlo_ref, twhi_ref, w2s_ref, olo_ref, ohi_ref):
+        x = x_ref[...]                    # [bt, n1h, n2] uint32
+        xc = jnp.transpose(x, (1, 0, 2)).reshape(n1h, cols)
+        # one stacked stage-1 matmul
+        w1s = w1s_ref[...]                # [8*n1, n1h] bf16
+        x_stack = jnp.concatenate(
+            [_to_bf16((xc >> jnp.uint32(8 * a)) & jnp.uint32(0xFF))
+             for a in range(4)], axis=1)  # [n1h, 4*cols]
+        s1 = jnp.dot(w1s, x_stack,
+                     preferred_element_type=jnp.float32).astype(jnp.int32)
+        ts = [None] * 11
+        for a in range(4):
+            for l in range(8):
+                blk = s1[l * n1:(l + 1) * n1, a * cols:(a + 1) * cols]
+                t = a + l
+                ts[t] = blk if ts[t] is None else ts[t] + blk
+        b = modp.combine_limb_sums(ts)    # pair [n1, cols]
+        tw_lo = jnp.broadcast_to(twlo_ref[...][:, None, :], (n1, bt, n2)
+                                 ).reshape(n1, cols)
+        tw_hi = jnp.broadcast_to(twhi_ref[...][:, None, :], (n1, bt, n2)
+                                 ).reshape(n1, cols)
+        c = modp.mul_modp(b, (tw_lo, tw_hi))
+        # rearrange [n1, bt*n2] -> [bt*n1, n2]
+        c = tuple(jnp.transpose(v.reshape(n1, bt, n2), (1, 0, 2))
+                  .reshape(bt * n1, n2) for v in c)
+        w2s = w2s_ref[...]                # [n2, 8*n2] bf16 (column blocks)
+        cl = modp.pair_to_limbs8(c)
+        ts2 = [None] * 15
+        for a in range(8):
+            s2 = jnp.dot(_to_bf16(cl[a]), w2s,
+                         preferred_element_type=jnp.float32).astype(jnp.int32)
+            for l in range(8):
+                blk = s2[:, l * n2:(l + 1) * n2]
+                t = a + l
+                ts2[t] = blk if ts2[t] is None else ts2[t] + blk
+        d = modp.combine_limb_sums(ts2)   # pair [bt*n1, n2]
+        olo_ref[...] = jnp.transpose(d[0].reshape(bt, n1, n2), (0, 2, 1))
+        ohi_ref[...] = jnp.transpose(d[1].reshape(bt, n1, n2), (0, 2, 1))
+
+    return kernel
 
 
 @functools.lru_cache(maxsize=None)
-def _fwd_callable(n: int, interpret: bool):
-    w1, tw_pair, w2, n1, n2 = _fwd_tables_np(n)
+def _fwd_tables_cached(n: int):
+    return _fwd_tables_np(n)
+
+
+def _fwd_callable(n: int, bt: int, interpret: bool):
+    w1, tw_pair, w2, n1, n2 = _fwd_tables_cached(n)
     n1h = n1 // 2
-    w1j = jnp.asarray(w1, dtype=jnp.bfloat16)
-    w2j = jnp.asarray(w2, dtype=jnp.bfloat16)
-    twlo = jnp.asarray(tw_pair[0])
-    twhi = jnp.asarray(tw_pair[1])
+    kernel = _make_fwd_kernel(bt, n1, n2)
 
     const = lambda *_: (0, 0, 0)
 
-    def call(x):  # x: uint32 [B, n/2]
+    def call(x):  # x: uint32 [B, n/2], B % bt == 0
+        # tables embed as trace-time constants (numpy -> no tracer leaks)
+        w1j = jnp.asarray(w1.reshape(8 * n1, n1h), dtype=jnp.bfloat16)
+        w2j = jnp.asarray(np.concatenate(list(w2), axis=1),
+                          dtype=jnp.bfloat16)  # [n2, 8*n2]
+        twlo = jnp.asarray(tw_pair[0])
+        twhi = jnp.asarray(tw_pair[1])
         bsz = x.shape[0]
         xm = x.reshape(bsz, n1h, n2)
-        grid = (bsz,)
+        grid = (bsz // bt,)
+        c2 = lambda i: (0, 0)
         out = pl.pallas_call(
-            _fwd_kernel,
+            kernel,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, n1h, n2), lambda i: (i, 0, 0)),
-                pl.BlockSpec((8, n1, n1h), const),
-                pl.BlockSpec((n1, n2), lambda i: (0, 0)),
-                pl.BlockSpec((n1, n2), lambda i: (0, 0)),
-                pl.BlockSpec((8, n2, n2), const),
+                pl.BlockSpec((bt, n1h, n2), lambda i: (i, 0, 0)),
+                pl.BlockSpec((8 * n1, n1h), c2),
+                pl.BlockSpec((n1, n2), c2),
+                pl.BlockSpec((n1, n2), c2),
+                pl.BlockSpec((n2, 8 * n2), c2),
             ],
-            out_specs=(pl.BlockSpec((1, n2, n1), lambda i: (i, 0, 0)),
-                       pl.BlockSpec((1, n2, n1), lambda i: (i, 0, 0))),
+            out_specs=(pl.BlockSpec((bt, n2, n1), lambda i: (i, 0, 0)),
+                       pl.BlockSpec((bt, n2, n1), lambda i: (i, 0, 0))),
             out_shape=(jax.ShapeDtypeStruct((bsz, n2, n1), jnp.uint32),) * 2,
             interpret=interpret,
         )(xm, w1j, twlo, twhi, w2j)
@@ -187,9 +221,18 @@ def _fwd_callable(n: int, interpret: bool):
     return call
 
 
-def ntt_fwd_pallas(x, n: int, interpret: bool = False):
+def ntt_fwd_pallas(x, n: int, interpret: bool = False, tile: int = 4):
     """Fused-kernel forward NTT: uint32 [B, n/2] -> pair uint32 [B, n].
 
     Bit-identical to ops/ntt.ntt_fwd_u32 (same tables, same DFT ordering).
+    Batch is processed `tile` transforms per grid step (padded as needed).
     """
-    return _fwd_callable(n, interpret)(x)
+    b = x.shape[0]
+    tile = max(1, min(tile, 16))
+    pad = (-b) % tile
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    lo, hi = _fwd_callable(n, tile, interpret)(x)
+    if pad:
+        lo, hi = lo[:b], hi[:b]
+    return lo, hi

@@ -32,18 +32,21 @@ def relinearize(raw: jnp.ndarray, ek_lo: jnp.ndarray, ek_hi: jnp.ndarray,
     """
     w32 = raw.shape[-2]
     batch = raw.shape[:-2]
-    digits = jnp.stack([ntt.extract_digit(raw, w, j, w32)
-                        for j in range(knum)])  # [knum, ..., raw_len]
-    d_lo, d_hi = ntt.ntt_fwd_batched(digits, n, chunk=digit_chunk)
 
     def step(acc, xs):
-        dl, dh, el, eh = xs
+        j, el, eh = xs
+        # extract digit j and NTT it inside the scan: peak memory is one
+        # [batch, n] pair instead of knum of them (the reference streams the
+        # equivalent data from pinned host memory, Relinearization.cu:81-83)
+        digit = ntt.extract_digit_dyn(raw, w, j, w32)
+        dl, dh = ntt.ntt_fwd_batched(digit, n, chunk=digit_chunk)
         prod = modp.mul_modp((dl[..., None, :], dh[..., None, :]), (el, eh))
         acc = modp.add_modp(acc, prod)
         return acc, None
 
     init = (jnp.zeros(batch + (pnum, n), jnp.uint32),
             jnp.zeros(batch + (pnum, n), jnp.uint32))
-    xs = (d_lo, d_hi, ek_lo[:knum, :pnum], ek_hi[:knum, :pnum])
+    xs = (jnp.arange(knum, dtype=jnp.uint32),
+          ek_lo[:knum, :pnum], ek_hi[:knum, :pnum])
     (acc_lo, acc_hi), _ = jax.lax.scan(step, init, xs)
     return acc_lo, acc_hi

@@ -23,16 +23,15 @@ import jax
 # numeric suite on the real chip instead).
 if not os.environ.get("CUHE_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
+else:
+    # persistent compilation cache (TPU only: the XLA:CPU AOT cache can
+    # deadlock on machine-feature mismatches)
+    _cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np
 import pytest
-
-# persistent compilation cache: integer kernels compile slowly but are
-# identical across runs, so cache aggressively.
-_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
 @pytest.fixture
