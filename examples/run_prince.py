@@ -12,6 +12,14 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
+import jax
+
+if jax.default_backend() == "tpu":
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                         ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 from cuhe_tpu.models.prince import Prince
 from cuhe_tpu.utils.timer import OTimer
 
@@ -21,6 +29,8 @@ def main():
     ap.add_argument("--rounds", type=int, default=None,
                     help="stop after N S-box layers (default: full 12)")
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--check-rounds", action="store_true",
+                    help="decrypt and print the state after every S-box layer")
     args = ap.parse_args()
 
     print("---------- Precomputation ----------")
@@ -31,13 +41,17 @@ def main():
     seen = {}
 
     def check(rd, state, lvl):
+        if not (args.check_rounds or rd in Prince.EXPECTED_ROUNDS):
+            print(f"Round {rd} done (level {lvl})", flush=True)
+            return
         bits = p.decrypt_state(state, lvl)
         s = "".join(str(b) for b in bits)
         seen[rd] = s
         exp = Prince.EXPECTED_ROUNDS.get(rd)
-        print(f"Round {rd}: {s}")
+        print(f"Round {rd}: {s}", flush=True)
         if exp is not None:
-            print("   expected:", exp, "OK" if s == exp else "MISMATCH")
+            print("   expected:", exp, "OK" if s == exp else "MISMATCH",
+                  flush=True)
 
     print("---------- PRINCE ENC ----------")
     t = OTimer(); t.start()
