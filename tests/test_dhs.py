@@ -1,7 +1,13 @@
 """Scheme-level integration tests replicating examples/DHS/simple_DHS.cu:
 encode -> encrypt -> {XOR (no relin), NOT, AND (+relin +modSwitch)} ->
-decrypt -> decode, plus key serialization round-trips, on the shipped
-parameter set CuDHS(5, 2, 1, 61, 20, 8191)."""
+decrypt -> decode, plus key serialization round-trips.
+
+The default run uses a lighter parameter set (same 16k ring, depth 3, w=16)
+so the CPU-backend CI stays fast; set CUHE_RUN_SLOW=1 to use the reference's
+shipped simple_DHS set CuDHS(5, 2, 1, 61, 20, 8191) with all 141 eval keys
+(exactly what examples/run_simple_dhs.py exercises on TPU)."""
+
+import os
 
 import numpy as np
 import pytest
@@ -10,11 +16,14 @@ from cuhe_tpu import poly
 from cuhe_tpu.dhs import CuDHS
 
 P_MSG = 2
+SLOW = bool(os.environ.get("CUHE_RUN_SLOW"))
 
 
 @pytest.fixture(scope="module")
 def dhs():
-    return CuDHS(5, P_MSG, 1, 61, 20, 8191, seed=12345)
+    if SLOW:
+        return CuDHS(5, P_MSG, 1, 61, 20, 8191, seed=12345)
+    return CuDHS(3, P_MSG, 16, 50, 25, 8191, seed=12345)
 
 
 @pytest.fixture(scope="module")

@@ -9,7 +9,7 @@ P = modp.P
 
 
 def test_ntt_mul_pallas_matches_jnp(rng):
-    shape = (7, 4096)
+    shape = (3, 1024)
     a = rng.integers(0, P, size=shape, dtype=np.uint64)
     b = rng.integers(0, P, size=shape, dtype=np.uint64)
     pa, pb = modp.pair_from_u64(a), modp.pair_from_u64(b)
@@ -21,7 +21,7 @@ def test_ntt_mul_pallas_matches_jnp(rng):
 
 
 def test_ntt_add_pallas_matches_jnp(rng):
-    shape = (4, 2048)
+    shape = (2, 1024)
     a = rng.integers(0, P, size=shape, dtype=np.uint64)
     b = rng.integers(0, P, size=shape, dtype=np.uint64)
     pa, pb = modp.pair_from_u64(a), modp.pair_from_u64(b)
