@@ -50,7 +50,7 @@ def main():
 
     rng = np.random.default_rng(20260817)
     results = {}
-    CHUNK = 32
+    CHUNK = 8
 
     def time_ntt(n, b, iters, impl="xla"):
         half = n // 2
@@ -127,9 +127,10 @@ def main():
 
         def body(i, carry):
             o = fn(carry, *args[1:])
-            # output has pnum-1 planes; rebuild a pnum-plane uint32 input
-            pad = jnp.concatenate([o, o[:, :1]], axis=1)
-            return pad
+            # output is CRT [b, pnum-1, n/2]; rebuild an NTT-shaped
+            # [b, pnum, n] uint32 input to keep the chain going
+            o = jnp.concatenate([o, o[:, :1]], axis=1)      # pnum planes
+            return jnp.concatenate([o, o], axis=-1)         # length n
 
         K = 16
         g = jax.jit(lambda a: lax.fori_loop(0, K, body, a))
