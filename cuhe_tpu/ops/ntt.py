@@ -232,6 +232,12 @@ def intt_modcrt(x_pair, n: int, p, mu, chunk: int = 8):
             jnp.broadcast_to(mu[1], shape[:-1] + (1,)).reshape(-1, 1))
     flat = (lo.reshape(-1, n), hi.reshape(-1, n))
     b = flat[0].shape[0]
+    if _use_pallas():
+        from . import pallas_kernels as pk
+
+        out = pk.intt_modcrt_pallas(flat, n, p_b[:, 0],
+                                    (mu_b[0][:, 0], mu_b[1][:, 0]))
+        return out.reshape(shape)
     if b <= chunk:
         out = finish(intt_raw(flat, n), p_b, mu_b)
         return out.reshape(shape)

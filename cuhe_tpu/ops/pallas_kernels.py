@@ -236,3 +236,139 @@ def ntt_fwd_pallas(x, n: int, interpret: bool = False, tile: int = 4):
     if pad:
         lo, hi = lo[:b], hi[:b]
     return lo, hi
+
+
+# ---------------------------------------------------------------------------
+# Fused inverse NTT (+ modcrt epilogue) kernel
+# ---------------------------------------------------------------------------
+
+def _inv_tables_np(n: int):
+    t = ntt_mod.get_tables(n)
+    n1, n2 = t.n1, t.n2
+    om = pow(hm.NTT_GEN, 65536 // n, hm.P)
+    om = hm.modinv(om, hm.P)
+    pw = ntt_mod._pow_table(om, n)
+    k1 = np.arange(n1, dtype=np.int64)
+    j1 = np.arange(n1, dtype=np.int64)
+    j2 = np.arange(n2, dtype=np.int64)
+    k2 = np.arange(n2, dtype=np.int64)
+    w1 = pw[(np.outer(k1, j1) % n1) * n2 % n]          # [n1, n1] full input
+    tw = pw[np.outer(k1, j2) % n]                      # [n1, n2]
+    w2 = pw[(np.outer(j2, k2) % n2) * n1 % n]          # [n2, n2]
+
+    def limbs8(w):
+        return np.stack([((w >> np.uint64(8 * i)) & np.uint64(0xFF))
+                         .astype(np.float32) for i in range(8)])
+
+    tw_pair = ((tw & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+               (tw >> np.uint64(32)).astype(np.uint32))
+    ninv = hm.modinv(n, hm.P)
+    return (limbs8(w1), tw_pair, limbs8(w2), n1, n2,
+            (ninv & 0xFFFFFFFF, ninv >> 32))
+
+
+def _make_inv_kernel(bt: int, n1: int, n2: int, ninv):
+    cols = bt * n2
+
+    def kernel(xlo_ref, xhi_ref, p_ref, mulo_ref, muhi_ref,
+               w1s_ref, twlo_ref, twhi_ref, w2s_ref, o_ref):
+        xlo = jnp.transpose(xlo_ref[...], (1, 0, 2)).reshape(n1, cols)
+        xhi = jnp.transpose(xhi_ref[...], (1, 0, 2)).reshape(n1, cols)
+        w1s = w1s_ref[...]                # [8*n1, n1] bf16
+        x_stack = jnp.concatenate(
+            [_to_bf16(l) for l in modp.pair_to_limbs8((xlo, xhi))], axis=1)
+        s1 = jnp.dot(w1s, x_stack,
+                     preferred_element_type=jnp.float32).astype(jnp.int32)
+        ts = [None] * 15
+        for a in range(8):
+            for l in range(8):
+                blk = s1[l * n1:(l + 1) * n1, a * cols:(a + 1) * cols]
+                t = a + l
+                ts[t] = blk if ts[t] is None else ts[t] + blk
+        b = modp.combine_limb_sums(ts)
+        tw_lo = jnp.broadcast_to(twlo_ref[...][:, None, :], (n1, bt, n2)
+                                 ).reshape(n1, cols)
+        tw_hi = jnp.broadcast_to(twhi_ref[...][:, None, :], (n1, bt, n2)
+                                 ).reshape(n1, cols)
+        c = modp.mul_modp(b, (tw_lo, tw_hi))
+        c = tuple(jnp.transpose(v.reshape(n1, bt, n2), (1, 0, 2))
+                  .reshape(bt * n1, n2) for v in c)
+        w2s = w2s_ref[...]
+        cl = modp.pair_to_limbs8(c)
+        ts2 = [None] * 15
+        for a in range(8):
+            s2 = jnp.dot(_to_bf16(cl[a]), w2s,
+                         preferred_element_type=jnp.float32).astype(jnp.int32)
+            for l in range(8):
+                blk = s2[:, l * n2:(l + 1) * n2]
+                t = a + l
+                ts2[t] = blk if ts2[t] is None else ts2[t] + blk
+        d = modp.combine_limb_sums(ts2)   # pair [bt*n1, n2]
+        # scale by n^-1 and reduce mod the per-transform prime
+        nv = (jnp.full_like(d[0], jnp.uint32(ninv[0])),
+              jnp.full_like(d[0], jnp.uint32(ninv[1])))
+        y = modp.mul_modp(d, nv)
+        y = tuple(jnp.transpose(v.reshape(bt, n1, n2), (0, 2, 1)) for v in y)
+        p = p_ref[...][:, :, None]        # [bt, 1, 1]
+        mu = (mulo_ref[...][:, :, None], muhi_ref[...][:, :, None])
+        o_ref[...] = modp.mod_u32(y, p, mu)
+
+    return kernel
+
+
+def _inv_callable(n: int, bt: int, interpret: bool):
+    w1, tw_pair, w2, n1, n2, ninv = _inv_tables_np(n)
+    kernel = _make_inv_kernel(bt, n1, n2, ninv)
+
+    def call(xlo, xhi, p, mu_lo, mu_hi):  # [B, n], [B,1] scalars
+        w1j = jnp.asarray(w1.reshape(8 * n1, n1), dtype=jnp.bfloat16)
+        w2j = jnp.asarray(np.concatenate(list(w2), axis=1), dtype=jnp.bfloat16)
+        twlo = jnp.asarray(tw_pair[0])
+        twhi = jnp.asarray(tw_pair[1])
+        bsz = xlo.shape[0]
+        xm_lo = xlo.reshape(bsz, n1, n2)
+        xm_hi = xhi.reshape(bsz, n1, n2)
+        grid = (bsz // bt,)
+        c2 = lambda i: (0, 0)
+        smem = pltpu.SMEM if pltpu is not None else None
+        scal = pl.BlockSpec((bt, 1), lambda i: (i, 0), memory_space=smem)
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bt, n1, n2), lambda i: (i, 0, 0)),
+                pl.BlockSpec((bt, n1, n2), lambda i: (i, 0, 0)),
+                scal, scal, scal,
+                pl.BlockSpec((8 * n1, n1), c2),
+                pl.BlockSpec((n1, n2), c2),
+                pl.BlockSpec((n1, n2), c2),
+                pl.BlockSpec((n2, 8 * n2), c2),
+            ],
+            out_specs=pl.BlockSpec((bt, n2, n1), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((bsz, n2, n1), jnp.uint32),
+            interpret=interpret,
+        )(xm_lo, xm_hi, p, mu_lo, mu_hi, w1j, twlo, twhi, w2j)
+        return out.reshape(bsz, n)
+
+    return call
+
+
+def intt_modcrt_pallas(x_pair, n: int, p, mu, interpret: bool = False,
+                       tile: int = 2):
+    """Fused inverse NTT + modcrt: pair [B, n] + per-transform p/mu [B] ->
+    uint32 [B, n].  Bit-identical to ops/ntt.intt_modcrt."""
+    lo, hi = x_pair
+    b = lo.shape[0]
+    tile = max(1, min(tile, 8))
+    pad = (-b) % tile
+    pv = p.reshape(-1, 1)
+    ml = mu[0].reshape(-1, 1)
+    mh = mu[1].reshape(-1, 1)
+    if pad:
+        lo = jnp.pad(lo, ((0, pad), (0, 0)))
+        hi = jnp.pad(hi, ((0, pad), (0, 0)))
+        pv = jnp.pad(pv, ((0, pad), (0, 0)), constant_values=1)
+        ml = jnp.pad(ml, ((0, pad), (0, 0)))
+        mh = jnp.pad(mh, ((0, pad), (0, 0)))
+    out = _inv_callable(n, tile, interpret)(lo, hi, pv, ml, mh)
+    return out[:b]

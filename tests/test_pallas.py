@@ -30,3 +30,24 @@ def test_ntt_add_pallas_matches_jnp(rng):
     got = modp.u64_from_pair(np.asarray(lo), np.asarray(hi)).astype(object)
     want = (a.astype(object) + b.astype(object)) % P
     np.testing.assert_array_equal(got, want)
+
+
+def test_intt_modcrt_pallas_matches_xla(rng):
+    import jax.numpy as jnp
+
+    from cuhe_tpu import hostmath as hm
+    from cuhe_tpu.ops import ntt
+
+    n = 16384
+    p = hm.prev_prime((1 << 25) - 1)
+    mu = modp.barrett_mu(p)
+    x = rng.integers(0, p, size=(3, n // 2), dtype=np.uint32)
+    X = ntt.ntt_fwd_u32(jnp.asarray(x), n)
+    want = np.asarray(ntt.intt_modcrt(
+        X, n, jnp.uint32(p), (jnp.uint32(mu[0]), jnp.uint32(mu[1]))))
+    interpret = jax.default_backend() != "tpu"
+    got = np.asarray(pk.intt_modcrt_pallas(
+        X, n, jnp.full((3,), p, jnp.uint32),
+        (jnp.full((3,), mu[0], jnp.uint32), jnp.full((3,), mu[1], jnp.uint32)),
+        interpret=interpret))
+    np.testing.assert_array_equal(got, want)
