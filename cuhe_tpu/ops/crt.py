@@ -98,3 +98,56 @@ def icrt_to_raw(crt: jnp.ndarray, primes: jnp.ndarray, mus, bi: jnp.ndarray,
           mi_words)
     out, _ = jax.lax.scan(step, init, xs)
     return jnp.moveaxis(jnp.stack(out[:words]), 0, -2)
+
+
+def icrt_psum_combine(partial: jnp.ndarray, m_words: jnp.ndarray,
+                      axis_name: str, n_shards: int) -> jnp.ndarray:
+    """Combine per-shard ICRT partial sums with an explicit psum.
+
+    For a CRT-prime axis sharded over mesh axis `axis_name`, each shard runs
+    `icrt_to_raw` on its local primes (its partial is already < M).  The
+    cross-shard reduction the reference never needed (one GPU held all
+    primes) is done here natively: each u32 word plane is split into 16-bit
+    halves so the psum over <= 2^16 shards cannot overflow, halves are
+    ripple-recombined, and the total (< n_shards * M) is brought below M by
+    n_shards-1 conditional subtracts of M -- the multiword analogue of
+    leq_M (cuhe/Base.cu:845-856) applied to the shard sum.
+
+    partial: uint32 [..., words, n] local result; returns the same shape,
+    identical on all shards.
+    """
+    words = partial.shape[-2]
+    lo16 = partial & jnp.uint32(0xFFFF)
+    hi16 = partial >> jnp.uint32(16)
+    lo16 = jax.lax.psum(lo16, axis_name)
+    hi16 = jax.lax.psum(hi16, axis_name)
+    # ripple: value = sum_w (lo16_w + 2^16 hi16_w) 2^(32 w), each half < 2^32
+    s = []
+    c = jnp.zeros_like(lo16[..., 0, :])
+    for w in range(words):
+        lw = lo16[..., w, :]
+        hw = hi16[..., w, :]
+        h_shift = hw << jnp.uint32(16)          # low 16 bits of hi half
+        t1 = lw + h_shift
+        c1 = (t1 < lw).astype(jnp.uint32)
+        t = t1 + c
+        c2 = (t < t1).astype(jnp.uint32)
+        c = (hw >> jnp.uint32(16)) + c1 + c2    # spills into next word
+        s.append(t)
+    top = c  # < n_shards + 2
+    m_bc = [jnp.broadcast_to(m_words[w], s[w].shape) for w in range(words)]
+    for _ in range(max(1, n_shards - 1)):
+        ge = top > 0
+        eqrun = jnp.ones_like(s[0], dtype=bool)
+        for w in range(words - 1, -1, -1):
+            ge = ge | (eqrun & (s[w] > m_bc[w]))
+            eqrun = eqrun & (s[w] == m_bc[w])
+        ge = ge | eqrun
+        bor = jnp.zeros_like(s[0])
+        for w in range(words):
+            d = s[w] - m_bc[w] - bor
+            bor = ((s[w] < m_bc[w])
+                   | ((s[w] == m_bc[w]) & (bor > 0))).astype(jnp.uint32)
+            s[w] = jnp.where(ge, d, s[w])
+        top = jnp.where(ge, top - bor, top)
+    return jnp.stack(s, axis=-2)

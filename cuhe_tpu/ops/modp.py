@@ -262,6 +262,81 @@ def u32_to_limbs4(x):
     return [(x >> jnp.uint32(s)) & jnp.uint32(0xFF) for s in (0, 8, 16, 24)]
 
 
+def u32_to_digits5(x):
+    """uint32 array -> 5 signed int8 digits d_i with sum d_i 256^i == x.
+
+    Bytes are rebalanced into [-128, 127] by a ripple of carries; the final
+    carry becomes digit 4 (value 0/1).  Exact for all uint32 inputs; feeds
+    the int8-MXU NTT matmul path (ntt.py).
+    """
+    x = u32(x)
+    ds = []
+    c = jnp.zeros_like(x, dtype=jnp.int32)
+    for s in (0, 8, 16, 24):
+        b = ((x >> jnp.uint32(s)) & jnp.uint32(0xFF)).astype(jnp.int32) + c
+        ge = (b >= 128).astype(jnp.int32)
+        ds.append((b - (ge << 8)).astype(jnp.int8))
+        c = ge
+    ds.append(c.astype(jnp.int8))
+    return ds
+
+
+def pair_to_digits9(pair):
+    """uint32 pair (value < 2^64) -> 9 signed int8 digits (top digit 0/1)."""
+    lo, hi = pair
+    ds = []
+    c = jnp.zeros_like(lo, dtype=jnp.int32)
+    for w in (lo, hi):
+        for s in (0, 8, 16, 24):
+            b = ((w >> jnp.uint32(s)) & jnp.uint32(0xFF)).astype(jnp.int32) + c
+            ge = (b >= 128).astype(jnp.int32)
+            ds.append((b - (ge << 8)).astype(jnp.int8))
+            c = ge
+    ds.append(c.astype(jnp.int8))
+    return ds
+
+
+def balanced_digits8_np(w: np.ndarray) -> np.ndarray:
+    """uint64 numpy array of values < P -> int8 [8, *shape] balanced digits.
+
+    Each value is replaced by a representative == value (mod P) whose
+    balanced base-256 expansion fits in 8 signed digits (host precompute for
+    twiddle tables; exactness asserted).
+    """
+    flat = np.asarray(w, dtype=np.uint64).ravel()
+    out = np.empty((8, flat.size), dtype=np.int8)
+    for idx, v in enumerate(flat.tolist()):
+        ok = False
+        for rep in (v, v - P):
+            r = rep
+            digs = []
+            for _ in range(8):
+                d = ((r + 128) % 256) - 128
+                digs.append(d)
+                r = (r - d) >> 8
+            if r == 0:
+                out[:, idx] = digs
+                ok = True
+                break
+        assert ok, f"value {v} not 8-digit balanced-representable"
+    return out.reshape((8,) + np.asarray(w).shape)
+
+
+def combine_limb_sums_signed(ts: list, bound_log2: int = 25):
+    """combine_limb_sums for signed int32 byte-position sums T_t.
+
+    Each |T_t| < 2^bound_log2; adds the offset C = 2^bound_log2 to make all
+    terms positive, combines, then subtracts sum_t C*2^(8t) mod P.
+    """
+    c = 1 << bound_log2
+    shifted = [(t + jnp.int32(c)).astype(jnp.uint32) for t in ts]
+    r = combine_limb_sums(shifted)
+    corr = sum(c * (1 << (8 * t)) for t in range(len(ts))) % P
+    corr_pair = (jnp.full_like(r[0], jnp.uint32(corr & MASK32)),
+                 jnp.full_like(r[1], jnp.uint32(corr >> 32)))
+    return sub_modp(r, corr_pair)
+
+
 def combine_limb_sums(ts: list):
     """Given int32 arrays T_s (s = 0..len-1, each < 2^27) representing
     sum_s T_s * 2^(8 s), return the canonical value mod P as a pair.

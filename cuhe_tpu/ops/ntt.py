@@ -101,11 +101,16 @@ class NttTables:
         self.w1t_full = _limbs8_f32(w1t)
         self.twt = np_pair(twt)
         self.w2 = _limbs8_f32(w2)
+        self.w1t_half_d8 = modp.balanced_digits8_np(w1t[: n1 // 2])
+        self.w1t_full_d8 = modp.balanced_digits8_np(w1t)
+        self.w2_d8 = modp.balanced_digits8_np(w2)
 
         w1t_i, twt_i, w2_i = build(omega_inv)
         self.w1t_inv = _limbs8_f32(w1t_i)
         self.twt_inv = np_pair(twt_i)
         self.w2_inv = _limbs8_f32(w2_i)
+        self.w1t_inv_d8 = modp.balanced_digits8_np(w1t_i)
+        self.w2_inv_d8 = modp.balanced_digits8_np(w2_i)
 
         ninv = hm.modinv(n, P)
         self.ninv = (ninv & 0xFFFFFFFF, ninv >> 32)
@@ -150,6 +155,56 @@ def _matmul_modp(x_limbs: list, w_limbs) -> tuple:
     return modp.combine_limb_sums(ts)
 
 
+def _matmul_modp_i8(x_digits: list, wdig) -> tuple:
+    """sum_j X[..., m, j] * W[j, n] mod P via one banded int8 MXU matmul.
+
+    x_digits: signed int8 digit arrays [..., m, j] (ascending powers of 256,
+    from modp.u32_to_digits5 / pair_to_digits9).  wdig: int8 numpy [8, j, n]
+    balanced digits of the twiddle matrix (modp.balanced_digits8_np).
+
+    Instead of materializing the [la, 8, m, n] limb-product tensor and
+    summing diagonals (``_matmul_modp``), the digit axes are banded into a
+    single contraction: X digits concatenated along j, W digits stacked into
+    a block-banded [la*j, T, n] tensor so the einsum directly yields the
+    byte-position sums T_t.  int8 x int8 -> int32 accumulation is exact at
+    any depth (products <= 2^14, |T_t| < 8*j*2^14 <= 2^25), and runs the MXU
+    at its double-rate int8 path.
+    """
+    la = len(x_digits)
+    lw = wdig.shape[0]
+    t_cnt = la + lw - 1
+    wd = jnp.asarray(wdig)                       # [8, j, n] int8
+    wjt = jnp.swapaxes(wd, 0, 1)                 # [j, 8, n]
+    blocks = [jnp.pad(wjt, ((0, 0), (a, t_cnt - lw - a), (0, 0)))
+              for a in range(la)]
+    wband = jnp.concatenate(blocks, axis=0)      # [la*j, T, n]
+    xcat = jnp.concatenate(x_digits, axis=-1)    # [..., m, la*j]
+    s = jnp.einsum("...mk,ktn->...tmn", xcat, wband,
+                   preferred_element_type=jnp.int32)
+    ts = [s[..., t, :, :] for t in range(t_cnt)]
+    return modp.combine_limb_sums_signed(ts, bound_log2=26)
+
+
+def _use_i8() -> bool:
+    import os
+
+    return os.environ.get("CUHE_NTT_I8", "1") == "1"
+
+
+def _stage_matmul_u32(x, w_f32, w_d8):
+    """Dispatch one NTT stage matmul for uint32 input by configured path."""
+    if _use_i8():
+        return _matmul_modp_i8(modp.u32_to_digits5(x), w_d8)
+    return _matmul_modp(modp.u32_to_limbs4(x), w_f32)
+
+
+def _stage_matmul_pair(x_pair, w_f32, w_d8):
+    """Dispatch one NTT stage matmul for pair input by configured path."""
+    if _use_i8():
+        return _matmul_modp_i8(modp.pair_to_digits9(x_pair), w_d8)
+    return _matmul_modp(modp.pair_to_limbs8(x_pair), w_f32)
+
+
 # ---------------------------------------------------------------------------
 # forward / inverse transforms
 # ---------------------------------------------------------------------------
@@ -164,10 +219,10 @@ def ntt_fwd_u32(x: jnp.ndarray, n: int):
     n1, n2 = t.n1, t.n2
     xm = x.reshape(x.shape[:-1] + (n1 // 2, n2))
     xt = jnp.swapaxes(xm, -1, -2)  # [..., j2, j1]
-    bt = _matmul_modp(modp.u32_to_limbs4(xt), t.w1t_half)  # [..., j2, k1]
+    bt = _stage_matmul_u32(xt, t.w1t_half, t.w1t_half_d8)  # [..., j2, k1]
     c = modp.mul_modp(bt, _const_pair(t.twt))
     ct = (jnp.swapaxes(c[0], -1, -2), jnp.swapaxes(c[1], -1, -2))  # [..., k1, j2]
-    d = _matmul_modp(modp.pair_to_limbs8(ct), t.w2)  # [..., k1, k2]
+    d = _stage_matmul_pair(ct, t.w2, t.w2_d8)  # [..., k1, k2]
     out = (jnp.swapaxes(d[0], -1, -2).reshape(x.shape[:-1] + (n,)),
            jnp.swapaxes(d[1], -1, -2).reshape(x.shape[:-1] + (n,)))
     return out
@@ -181,10 +236,10 @@ def ntt_fwd_pair(x_pair, n: int):
     shape = lo.shape[:-1]
     xm = (lo.reshape(shape + (n1, n2)), hi.reshape(shape + (n1, n2)))
     xt = (jnp.swapaxes(xm[0], -1, -2), jnp.swapaxes(xm[1], -1, -2))
-    bt = _matmul_modp(modp.pair_to_limbs8(xt), t.w1t_full)
+    bt = _stage_matmul_pair(xt, t.w1t_full, t.w1t_full_d8)
     c = modp.mul_modp(bt, _const_pair(t.twt))
     ct = (jnp.swapaxes(c[0], -1, -2), jnp.swapaxes(c[1], -1, -2))
-    d = _matmul_modp(modp.pair_to_limbs8(ct), t.w2)
+    d = _stage_matmul_pair(ct, t.w2, t.w2_d8)
     return (jnp.swapaxes(d[0], -1, -2).reshape(shape + (n,)),
             jnp.swapaxes(d[1], -1, -2).reshape(shape + (n,)))
 
@@ -197,10 +252,10 @@ def intt_raw(x_pair, n: int):
     shape = lo.shape[:-1]
     xm = (lo.reshape(shape + (n1, n2)), hi.reshape(shape + (n1, n2)))
     xt = (jnp.swapaxes(xm[0], -1, -2), jnp.swapaxes(xm[1], -1, -2))
-    bt = _matmul_modp(modp.pair_to_limbs8(xt), t.w1t_inv)
+    bt = _stage_matmul_pair(xt, t.w1t_inv, t.w1t_inv_d8)
     c = modp.mul_modp(bt, _const_pair(t.twt_inv))
     ct = (jnp.swapaxes(c[0], -1, -2), jnp.swapaxes(c[1], -1, -2))
-    d = _matmul_modp(modp.pair_to_limbs8(ct), t.w2_inv)
+    d = _stage_matmul_pair(ct, t.w2_inv, t.w2_inv_d8)
     return (jnp.swapaxes(d[0], -1, -2).reshape(shape + (n,)),
             jnp.swapaxes(d[1], -1, -2).reshape(shape + (n,)))
 

@@ -103,6 +103,37 @@ def batched_and_relin_modswitch(ctx: Context, lvl: int):
     return step
 
 
+def icrt_to_raw_sharded(mesh: Mesh):
+    """Explicit-collective ICRT over a crt-sharded prime axis.
+
+    Returns a jittable fn(crt, primes, mus_lo, mus_hi, bi, mi_words, m_words)
+    matching ops/crt.icrt_to_raw but evaluated with shard_map: each crt shard
+    accumulates its local primes' multiword partial sum, then one psum of
+    16-bit half-planes + a k*M correction replaces the cross-shard scan that
+    GSPMD would otherwise implement by gathering every shard's planes
+    (see ops/crt.icrt_psum_combine).  Output is replicated over `crt` and
+    sharded over `batch`.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from ..ops import crt as crt_ops
+
+    n_crt = mesh.shape["crt"]
+
+    def local(crt, primes, mu_lo, mu_hi, bi, mi_words, m_words):
+        part = crt_ops.icrt_to_raw(crt, primes, (mu_lo, mu_hi), bi,
+                                   mi_words, m_words)
+        return crt_ops.icrt_psum_combine(part, m_words, "crt", n_crt)
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P("batch", "crt", None), P("crt"), P("crt"), P("crt"),
+                  P("crt"), P("crt", None), P(None)),
+        out_specs=P("batch", None, None),
+        check_rep=False)
+    return jax.jit(fn)
+
+
 def step_table_args(ctx: Context):
     """The device-resident big-table arguments for the flagship step."""
     return (ctx.ek_ntt[0], ctx.ek_ntt[1]) + ctx.barrett_args()

@@ -102,3 +102,32 @@ def test_batched_matches_single(rng):
     lo2, hi2 = ntt.ntt_fwd_batched(jnp.asarray(x), n, chunk=2)
     np.testing.assert_array_equal(np.asarray(lo1), np.asarray(lo2))
     np.testing.assert_array_equal(np.asarray(hi1), np.asarray(hi2))
+
+
+def test_i8_and_bf16_matmul_paths_bit_identical(rng):
+    """The banded int8-MXU path (CUHE_NTT_I8=1, default) and the bf16
+    limb-product path produce identical bits, incl. adversarial inputs."""
+    import os
+
+    n = 16384
+    xs = [rng.integers(0, 1 << 32, size=(2, n // 2), dtype=np.uint32),
+          np.full((2, n // 2), 0xFFFFFFFF, dtype=np.uint32)]
+    v = rng.integers(0, (1 << 64) - (1 << 32) + 1, size=(1, n),
+                     dtype=np.uint64)
+    pair = (jnp.asarray((v & 0xFFFFFFFF).astype(np.uint32)),
+            jnp.asarray((v >> 32).astype(np.uint32)))
+    prev = os.environ.get("CUHE_NTT_I8")
+    try:
+        outs = {}
+        for flag in ("0", "1"):
+            os.environ["CUHE_NTT_I8"] = flag
+            outs[flag] = ([np.asarray(a) for x in xs
+                           for a in ntt.ntt_fwd_u32(jnp.asarray(x), n)]
+                          + [np.asarray(a) for a in ntt.intt_raw(pair, n)])
+        for a, b in zip(outs["0"], outs["1"]):
+            np.testing.assert_array_equal(a, b)
+    finally:
+        if prev is None:
+            os.environ.pop("CUHE_NTT_I8", None)
+        else:
+            os.environ["CUHE_NTT_I8"] = prev

@@ -89,6 +89,33 @@ def test_sharded_pointwise_gates(small_ctx):
     np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want[1]))
 
 
+def test_icrt_explicit_psum_matches_unsharded(small_ctx):
+    """shard_map ICRT (per-shard partial + psum of 16-bit half-planes + k*M
+    correction, ops/crt.icrt_psum_combine) is bit-identical to the
+    single-device scan."""
+    from cuhe_tpu.ops import crt as crt_ops
+
+    ctx = small_ctx
+    pn = ctx.params.num_crt_prime
+    n = ctx.params.crt_len
+    rng = np.random.default_rng(23)
+    ps = np.array(ctx.params.crt_primes[:pn], dtype=np.uint64)
+    c = (rng.integers(0, 1 << 62, size=(8, pn, n), dtype=np.uint64)
+         % ps[None, :, None]).astype(np.uint32)
+    m_words, mi_words, bi = ctx._icrt[0]
+    primes = jnp.asarray(ctx.primes_np[:pn])
+    mus = (jnp.asarray(ctx.mus_np[0][:pn]), jnp.asarray(ctx.mus_np[1][:pn]))
+    args = (jnp.asarray(c), primes, mus[0], mus[1], jnp.asarray(bi),
+            jnp.asarray(mi_words), jnp.asarray(m_words))
+    want = np.asarray(jax.jit(
+        lambda c_, p_, ml, mh, b_, mi, m_: crt_ops.icrt_to_raw(
+            c_, p_, (ml, mh), b_, mi, m_))(*args))
+
+    mesh = pmesh.make_mesh(4, 2)
+    got = np.asarray(pmesh.icrt_to_raw_sharded(mesh)(*args))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_resharding_roundtrip(small_ctx):
     """Ciphertext movement between placements = jax.device_put resharding."""
     rng = np.random.default_rng(1)
