@@ -134,6 +134,66 @@ def icrt_to_raw_sharded(mesh: Mesh):
     return jax.jit(fn)
 
 
+def ntt_fwd_sharded(mesh: Mesh, n: int, axis: str = "crt"):
+    """One length-n forward NTT sharded ACROSS chips (stage-boundary
+    all-to-all), SURVEY.md §7.2 step 9 / §5 "long-context analog".
+
+    The four-step factorization's stage boundary is a transpose; sharding
+    the [n1, n2] coefficient matrix turns it into one ICI all-to-all:
+
+      stage 1: columns j2 sharded -> local matmul over j1 (contracted dim
+               is local), local twiddle (twiddle rows j2 sharded alike)
+      boundary: lax.all_to_all splits k1, concatenates j2 (the transpose)
+      stage 2: rows k1 sharded -> local matmul over j2
+
+    Returns a jitted fn(x) : uint32 [..., n//2] -> pair uint32 [..., n2, n1]
+    in the stage-2 matrix layout (global element [.., k2, k1] = NTT output
+    index k1 + n1*k2), with the k1 axis sharded over `axis`.  Pointwise
+    NTT-domain ops are order-agnostic, so circuits can stay in this layout
+    and only un-permute at the edges (cf. the reference's ntt_3 transpose,
+    Base.cu:417-437, which this design deletes).
+
+    Requires: mesh.shape[axis] divides both n1 and n2.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from ..ops import ntt as ntt_ops
+
+    t = ntt_ops.get_tables(n)
+    n1, n2 = t.n1, t.n2
+    s = mesh.shape[axis]
+    if n1 % s or n2 % s:
+        raise ValueError(f"shard count {s} must divide n1={n1}, n2={n2}")
+
+    def local(xm, twt_lo, twt_hi):
+        # xm: [..., n1h, n2/s] local column block
+        xt = jnp.swapaxes(xm, -1, -2)                      # [..., j2_blk, j1h]
+        bt = ntt_ops._stage_matmul_u32(xt, t.w1t_half, t.w1t_half_d8)
+        c = modp.mul_modp(bt, (twt_lo, twt_hi))            # [..., j2_blk, k1]
+        # stage boundary: the transpose IS the collective
+        c = tuple(jax.lax.all_to_all(v, axis, split_axis=v.ndim - 1,
+                                     concat_axis=v.ndim - 2, tiled=True)
+                  for v in c)                              # [..., j2, k1_blk]
+        ct = tuple(jnp.swapaxes(v, -1, -2) for v in c)     # [..., k1_blk, j2]
+        d = ntt_ops._stage_matmul_pair(ct, t.w2, t.w2_d8)  # [..., k1_blk, k2]
+        return (jnp.swapaxes(d[0], -1, -2), jnp.swapaxes(d[1], -1, -2))
+
+    twt = (np.asarray(t.twt[0]), np.asarray(t.twt[1]))     # [j2, k1]
+
+    def call(x):
+        xm = x.reshape(x.shape[:-1] + (n1 // 2, n2))
+        nd = xm.ndim
+        spec_x = P(*([None] * (nd - 1) + [axis]))
+        spec_tw = P(axis, None)
+        spec_out = P(*([None] * (nd - 1) + [axis]))
+        fn = shard_map(local, mesh=mesh,
+                       in_specs=(spec_x, spec_tw, spec_tw),
+                       out_specs=(spec_out, spec_out), check_rep=False)
+        return fn(xm, jnp.asarray(twt[0]), jnp.asarray(twt[1]))
+
+    return jax.jit(call)
+
+
 def step_table_args(ctx: Context):
     """The device-resident big-table arguments for the flagship step."""
     return (ctx.ek_ntt[0], ctx.ek_ntt[1]) + ctx.barrett_args()

@@ -116,6 +116,27 @@ def test_icrt_explicit_psum_matches_unsharded(small_ctx):
     np.testing.assert_array_equal(got, want)
 
 
+def test_single_ntt_sharded_across_chips(small_ctx):
+    """A single 16k NTT sharded over 8 chips (stage-boundary all-to-all)
+    equals the single-device transform, elementwise."""
+    from cuhe_tpu.ops import ntt as ntt_ops
+
+    n = 16384
+    rng = np.random.default_rng(31)
+    x = rng.integers(0, 1 << 31, size=(2, n // 2), dtype=np.uint32)
+    want_lo, want_hi = ntt_ops.ntt_fwd_u32(jnp.asarray(x), n)
+
+    mesh = pmesh.make_mesh(1, 8)
+    fn = pmesh.ntt_fwd_sharded(mesh, n)
+    got = fn(jnp.asarray(x))
+    t = ntt_ops.get_tables(n)
+    got_lo = np.asarray(got[0]).reshape(2, n)
+    got_hi = np.asarray(got[1]).reshape(2, n)
+    np.testing.assert_array_equal(got_lo, np.asarray(want_lo))
+    np.testing.assert_array_equal(got_hi, np.asarray(want_hi))
+    assert t.n1 % 8 == 0 and t.n2 % 8 == 0
+
+
 def test_resharding_roundtrip(small_ctx):
     """Ciphertext movement between placements = jax.device_put resharding."""
     rng = np.random.default_rng(1)
