@@ -102,8 +102,10 @@ class CuCtxt:
     """Imperative wrapper over the immutable poly.Ctxt (CuHE.h:115-138)."""
 
     def __init__(self, coeffs=None, level: int = 0, _inner: poly.Ctxt = None):
+        # `coeffs if ... is not None` (not `coeffs or []`): numpy arrays have
+        # no truth value, and falsy-but-valid inputs must not be dropped
         self._c = _inner if _inner is not None else poly.ctxt_from_ints(
-            coeffs or [], level)
+            coeffs if coeffs is not None else [], level)
 
     # -- state accessors ---------------------------------------------------
     @property
@@ -155,7 +157,7 @@ class CuPtxt:
 
     def __init__(self, coeffs=None, _inner: poly.Ptxt = None):
         self._p = _inner if _inner is not None else poly.ptxt_from_ints(
-            coeffs or [])
+            coeffs if coeffs is not None else [])
 
     @property
     def domain(self) -> str:

@@ -281,6 +281,45 @@ def u32_to_digits5(x):
     return ds
 
 
+def pair_to_digits8(pair):
+    """Canonical pair (value < P) -> 8 signed int8 digits, exactly.
+
+    Nine digits (pair_to_digits9) are needed for arbitrary u64 values, but a
+    canonical residue v < P always has an equivalent representative w in
+    {v, v - P} whose balanced base-256 expansion fits 8 signed digits: the
+    8-digit balanced range is exactly [-128*(2^64-1)/255, 127*(2^64-1)/255]
+    = [-0x8080808080808080, 0x7F7F7F7F7F7F7F7F].  Taking w = v - P exactly
+    when v > 0x7F7F7F7F7F7F7F7F keeps positives at the capacity bound and
+    negatives >= PosCap + 1 - P = -(NegCap - 2^32 + 1), in range with 2^32
+    to spare.  Digits are extracted from w's two's-complement pair; the top
+    digit's mod-256 wrap is exact because the true quotient lies in
+    [-128, 127].
+
+    One fewer digit than pair_to_digits9 = 1/9 fewer MXU flops in every
+    NTT stage matmul over pair inputs.
+    """
+    lo, hi = pair
+    cap = jnp.uint32(0x7F7F7F7F)
+    big = (hi > cap) | ((hi == cap) & (lo > cap))
+    # w = v - P  (two's complement on the pair); P = (P_LO, P_HI)
+    d, _ = sub64(pair, (jnp.full_like(lo, P_LO), jnp.full_like(hi, P_HI)))
+    wlo = jnp.where(big, d[0], lo)
+    whi = jnp.where(big, d[1], hi)
+    ds = []
+    c = jnp.zeros_like(lo, dtype=jnp.int32)
+    for w in (wlo, whi):
+        for s in (0, 8, 16, 24):
+            b = ((w >> jnp.uint32(s)) & jnp.uint32(0xFF)).astype(jnp.int32) + c
+            if s == 24 and w is whi:
+                # top digit: wrap mod 256 into [-128, 127] (exact, see above)
+                ds.append((((b + 128) & 255) - 128).astype(jnp.int8))
+            else:
+                ge = (b >= 128).astype(jnp.int32)
+                ds.append((b - (ge << 8)).astype(jnp.int8))
+                c = ge
+    return ds
+
+
 def pair_to_digits9(pair):
     """uint32 pair (value < 2^64) -> 9 signed int8 digits (top digit 0/1)."""
     lo, hi = pair

@@ -185,10 +185,26 @@ def _matmul_modp_i8(x_digits: list, wdig) -> tuple:
     return modp.combine_limb_sums_signed(ts, bound_log2=26)
 
 
-def _use_i8() -> bool:
-    import os
+import os as _os
 
-    return os.environ.get("CUHE_NTT_I8", "1") == "1"
+# Read once at import: Context caches jitted transforms at construction, so a
+# trace-time env read would silently ignore later flips (ADVICE.md r1).  Use
+# set_i8_path() to change it explicitly BEFORE building new jits.
+_I8_PATH = _os.environ.get("CUHE_NTT_I8", "1") == "1"
+
+
+def set_i8_path(enabled: bool) -> None:
+    """Select the int8-banded (True) or bf16-limb (False) stage matmul path.
+
+    Takes effect for traces performed after the call; already-jitted
+    functions (e.g. a Context's cached transforms) keep their path.
+    """
+    global _I8_PATH
+    _I8_PATH = bool(enabled)
+
+
+def _use_i8() -> bool:
+    return _I8_PATH
 
 
 def _stage_matmul_u32(x, w_f32, w_d8):

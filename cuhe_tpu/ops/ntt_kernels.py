@@ -1,0 +1,354 @@
+"""Fused transpose-free NTT kernels (v2) — int8 digit matmuls on the MXU.
+
+This is the round-2 performance redesign of the four-step NTT
+(ops/ntt.py, ops/pallas_kernels.py v1).  Three structural changes vs v1:
+
+1. **int8 digit matmuls.**  Every Z_P stage matmul is evaluated as
+   ``la`` int8 x int8 -> int32 MXU dots (one per operand digit ``a``
+   against the 8-digit twiddle stack), with the byte-position sums
+   accumulated by slicing — exact flop count ``la * 8`` digit-matmuls,
+   no banding padding (cf. ops/ntt._matmul_modp_i8), at the MXU's
+   double int8 rate.  Runtime pairs use the new 8-digit balanced
+   decomposition (modp.pair_to_digits8): 64 digit-matmuls per stage.
+
+2. **Transpose-free four-step.**  With the output kept in the
+   ``[k1, k2]`` matrix layout ("mat" layout, linear index
+   k = k1 + n1*k2), the forward transform is
+
+       stage 1 (left  matmul): B[k1, j2]  = sum_j1 W1[k1, j1] X[j1, j2]
+       twiddle:                 C = B * w^(k1*j2)
+       stage 2 (right matmul): D[k1, k2] = sum_j2 C[k1, j2] W2[j2, k2]
+
+   and the inverse consumes mat layout directly
+
+       stage 1 (right matmul): A[k1, t2] = sum_k2 X[k1, k2] W2i[k2, t2]
+       twiddle:                 B = A * w^-(k1*t2)
+       stage 2 (left  matmul): Y[t1, t2] = sum_k1 W1i[t1, k1] B[k1, t2]
+
+   producing natural coefficient order [t1, t2] (t = t2 + n2*t1) with no
+   data transposes anywhere in the round trip.  This is the TPU analogue
+   of the reference deleting its output permutation work in ntt_3
+   (cuhe/Base.cu:417-437): pointwise NTT-domain ops are order-agnostic,
+   so circuits stay in mat layout; only std-order edges permute.
+
+3. **Everything between HBM reads fuses in VMEM**: digit decomposition,
+   stage dots, byte-position recombination mod P (modp.combine_limb_sums),
+   twiddle multiply, and (inverse) the n^-1 scale + per-transform CRT
+   reduction epilogue of intt_3_modcrt (cuhe/Base.cu:438-490).
+
+Replicates the math of cuhe/Base.cu:309-842 with the same generator and
+scale constants; bit-exactness is asserted against ops/ntt.py (itself
+DFT-oracle-tested) in tests/test_ntt_kernels.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+try:  # pallas TPU backend availability differs per platform
+    from jax.experimental.pallas import tpu as pltpu
+except Exception:  # pragma: no cover
+    pltpu = None
+
+from .. import hostmath as hm
+from . import modp
+
+P = hm.P
+
+_FACTORS = {16384: (128, 128), 32768: (128, 256), 65536: (256, 256)}
+
+# transforms per grid step (VMEM-bounded)
+_DEFAULT_BT = {16384: 4, 32768: 2, 65536: 1}
+
+
+def _pow_table(omega: int, n: int) -> np.ndarray:
+    pw = np.empty(n, dtype=np.uint64)
+    cur = 1
+    for i in range(n):
+        pw[i] = cur
+        cur = cur * omega % P
+    return pw
+
+
+@functools.lru_cache(maxsize=None)
+def tables(n: int):
+    """Twiddle tables for the transpose-free four-step, digit-stacked.
+
+    Returns a dict of numpy arrays (int8 digit stacks / uint32 pairs);
+    passed to kernels as arguments per the big-tables-as-args policy.
+    """
+    if n not in _FACTORS:
+        raise ValueError(f"unsupported NTT length {n}")
+    n1, n2 = _FACTORS[n]
+    om = pow(hm.NTT_GEN, 65536 // n, P)
+    omi = hm.modinv(om, P)
+    pw = _pow_table(om, n)
+    pwi = _pow_table(omi, n)
+    j1 = np.arange(n1, dtype=np.int64)
+    j2 = np.arange(n2, dtype=np.int64)
+
+    def row_stack(d8):  # [8, m, k] -> [8*m, k]
+        return np.concatenate(list(d8), axis=0)
+
+    def col_stack(d8):  # [8, k, m] -> [k, 8*m]
+        return np.concatenate(list(d8), axis=1)
+
+    def pair(w):
+        return ((w & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+                (w >> np.uint64(32)).astype(np.uint32))
+
+    # forward: W1[k1, j1h], tw[k1, j2], W2[j2, k2]
+    w1 = pw[(np.outer(j1, j1[: n1 // 2]) % n1) * n2 % n]
+    tw = pw[np.outer(j1, j2) % n]
+    w2 = pw[(np.outer(j2, j2) % n2) * n1 % n]
+    # inverse: W2i[k2, t2], twi[k1, t2], W1i[t1, k1]
+    w2i = pwi[(np.outer(j2, j2) % n2) * n1 % n]
+    twi = pwi[np.outer(j1, j2) % n]
+    w1i = pwi[(np.outer(j1, j1) % n1) * n2 % n]
+    ninv = hm.modinv(n, P)
+    return {
+        "n1": n1, "n2": n2,
+        "w1": row_stack(modp.balanced_digits8_np(w1)),      # [8*n1, n1h] i8
+        "tw": pair(tw),                                     # [n1, n2] u32 x2
+        "w2": col_stack(modp.balanced_digits8_np(w2)),      # [n2, 8*n2] i8
+        "w2i": col_stack(modp.balanced_digits8_np(w2i)),    # [n2, 8*n2] i8
+        "twi": pair(twi),                                   # [n1, n2] u32 x2
+        "w1i": row_stack(modp.balanced_digits8_np(w1i)),    # [8*n1, n1] i8
+        "ninv": (ninv & 0xFFFFFFFF, ninv >> 32),
+    }
+
+
+def _dot_left(wstack, x_digits, m: int, n_free: int):
+    """sum_k W[m, k] X[k, ...] per digit pair, as `la` stacked left dots.
+
+    wstack: int8 [8*m, k] (digit l in row block l).
+    x_digits: list of int8 [..., k, n_free]-shaped arrays where the
+    contraction axis is at position -2 (leading batch allowed).
+    Returns the canonical mod-P pair with shape [m, ...batch..., n_free]
+    for batched inputs [bt, k, n_free] -> [m, bt, n_free].
+    """
+    la = len(x_digits)
+    ts = [None] * (la + 7)
+    for a, xa in enumerate(x_digits):
+        nd = xa.ndim
+        s = jax.lax.dot_general(
+            wstack, xa, (((1,), (nd - 2,)), ((), ())),
+            preferred_element_type=jnp.int32)  # [8*m, ...batch, n_free]
+        for l in range(8):
+            blk = s[l * m:(l + 1) * m]
+            t = a + l
+            ts[t] = blk if ts[t] is None else ts[t] + blk
+    return modp.combine_limb_sums_signed(ts, bound_log2=26)
+
+
+def _dot_right(x_digits, wstack, n_out: int):
+    """sum_k X[..., k] W[k, n_out] per digit pair, as `la` right dots.
+
+    wstack: int8 [k, 8*n_out] (digit l in column block l).
+    x_digits: list of int8 [..., k] + trailing? arrays with contraction on
+    the LAST axis.  Returns pair [..., n_out].
+    """
+    la = len(x_digits)
+    ts = [None] * (la + 7)
+    for a, xa in enumerate(x_digits):
+        nd = xa.ndim
+        s = jax.lax.dot_general(
+            xa, wstack, (((nd - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)  # [..., 8*n_out]
+        for l in range(8):
+            blk = s[..., l * n_out:(l + 1) * n_out]
+            t = a + l
+            ts[t] = blk if ts[t] is None else ts[t] + blk
+    return modp.combine_limb_sums_signed(ts, bound_log2=26)
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+def _make_fwd_kernel(bt: int, n1: int, n2: int):
+    n1h = n1 // 2
+
+    def kernel(x_ref, w1_ref, twlo_ref, twhi_ref, w2_ref, olo_ref, ohi_ref):
+        x = x_ref[...]                                    # [bt, n1h, n2] u32
+        xd = modp.u32_to_digits5(x)
+        # stage 1: left dot contracting j1 (axis -2 of x) -> [n1, bt, n2]
+        b = _dot_left(w1_ref[...], xd, n1, n2)
+        tw = (twlo_ref[...][:, None, :], twhi_ref[...][:, None, :])
+        c = modp.mul_modp(b, tw)                          # [n1, bt, n2]
+        cd = modp.pair_to_digits8(c)
+        d = _dot_right(cd, w2_ref[...], n2)               # [n1, bt, n2]
+        olo_ref[...] = jnp.swapaxes(d[0], 0, 1)           # [bt, n1, n2]
+        ohi_ref[...] = jnp.swapaxes(d[1], 0, 1)
+
+    return kernel
+
+
+def _const2(*_):
+    return (0, 0)
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_call(n: int, bt: int, interpret: bool):
+    t = tables(n)
+    n1, n2 = t["n1"], t["n2"]
+    n1h = n1 // 2
+    kernel = _make_fwd_kernel(bt, n1, n2)
+
+    @jax.jit
+    def call(x, w1, twlo, twhi, w2):  # x: u32 [B, n/2], B % bt == 0
+        bsz = x.shape[0]
+        xm = x.reshape(bsz, n1h, n2)
+        out = pl.pallas_call(
+            kernel,
+            grid=(bsz // bt,),
+            in_specs=[
+                pl.BlockSpec((bt, n1h, n2), lambda i: (i, 0, 0)),
+                pl.BlockSpec((8 * n1, n1h), _const2),
+                pl.BlockSpec((n1, n2), _const2),
+                pl.BlockSpec((n1, n2), _const2),
+                pl.BlockSpec((n2, 8 * n2), _const2),
+            ],
+            out_specs=(pl.BlockSpec((bt, n1, n2), lambda i: (i, 0, 0)),) * 2,
+            out_shape=(jax.ShapeDtypeStruct((bsz, n1, n2), jnp.uint32),) * 2,
+            interpret=interpret,
+        )(xm, w1, twlo, twhi, w2)
+        return out
+
+    return call
+
+
+def ntt_fwd(x, n: int, *, layout: str = "mat", bt: int | None = None,
+            interpret: bool = False):
+    """Fused forward NTT: uint32 [B, n/2] -> pair of uint32.
+
+    layout="mat": returns [B, n1, n2] pairs in [k1, k2] matrix layout.
+    layout="std": returns [B, n] pairs in standard NTT index order
+    (k = k1 + n1*k2), bit-identical to ops/ntt.ntt_fwd_u32.
+    """
+    t = tables(n)
+    n1, n2 = t["n1"], t["n2"]
+    bt = bt or _DEFAULT_BT[n]
+    b = x.shape[0]
+    pad = (-b) % bt
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    args = (jnp.asarray(t["w1"]), jnp.asarray(t["tw"][0]),
+            jnp.asarray(t["tw"][1]), jnp.asarray(t["w2"]))
+    lo, hi = _fwd_call(n, bt, interpret)(x, *args)
+    lo, hi = lo[:b], hi[:b]
+    if layout == "mat":
+        return lo, hi
+    # std order: out[k1 + n1*k2] -> [k2, k1] row-major
+    return (jnp.swapaxes(lo, -1, -2).reshape(b, n),
+            jnp.swapaxes(hi, -1, -2).reshape(b, n))
+
+
+# ---------------------------------------------------------------------------
+# inverse kernel (+ modcrt epilogue)
+# ---------------------------------------------------------------------------
+
+def _make_inv_kernel(bt: int, n1: int, n2: int, ninv):
+    def kernel(xlo_ref, xhi_ref, p_ref, mulo_ref, muhi_ref,
+               w2i_ref, twlo_ref, twhi_ref, w1i_ref, o_ref):
+        x = (xlo_ref[...], xhi_ref[...])                  # [bt, n1, n2] mat
+        xd = modp.pair_to_digits8(x)
+        a = _dot_right(xd, w2i_ref[...], n2)              # [bt, n1, n2]
+        tw = (twlo_ref[...][None, :, :], twhi_ref[...][None, :, :])
+        b = modp.mul_modp(a, tw)
+        bd = modp.pair_to_digits8(b)
+        y = _dot_left(w1i_ref[...], bd, n1, n2)           # [n1(t1), bt, n2]
+        nv = (jnp.full_like(y[0], jnp.uint32(ninv[0])),
+              jnp.full_like(y[0], jnp.uint32(ninv[1])))
+        y = modp.mul_modp(y, nv)
+        p = p_ref[...].reshape(1, bt, 1)
+        mu = (mulo_ref[...].reshape(1, bt, 1), muhi_ref[...].reshape(1, bt, 1))
+        o_ref[...] = jnp.swapaxes(modp.mod_u32(y, p, mu), 0, 1)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _inv_call(n: int, bt: int, interpret: bool):
+    t = tables(n)
+    n1, n2 = t["n1"], t["n2"]
+    kernel = _make_inv_kernel(bt, n1, n2, t["ninv"])
+    smem = pltpu.SMEM if (pltpu is not None and not interpret) else None
+
+    @jax.jit
+    def call(xlo, xhi, p, mu_lo, mu_hi, w2i, twlo, twhi, w1i):
+        bsz = xlo.shape[0]
+        scal = pl.BlockSpec((bt, 1), lambda i: (i, 0), memory_space=smem)
+        out = pl.pallas_call(
+            kernel,
+            grid=(bsz // bt,),
+            in_specs=[
+                pl.BlockSpec((bt, n1, n2), lambda i: (i, 0, 0)),
+                pl.BlockSpec((bt, n1, n2), lambda i: (i, 0, 0)),
+                scal, scal, scal,
+                pl.BlockSpec((n2, 8 * n2), _const2),
+                pl.BlockSpec((n1, n2), _const2),
+                pl.BlockSpec((n1, n2), _const2),
+                pl.BlockSpec((8 * n1, n1), _const2),
+            ],
+            out_specs=pl.BlockSpec((bt, n1, n2), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((bsz, n1, n2), jnp.uint32),
+            interpret=interpret,
+        )(xlo, xhi, p, mu_lo, mu_hi, w2i, twlo, twhi, w1i)
+        return out
+
+    return call
+
+
+def intt_modcrt(x_pair, n: int, p, mu, *, layout: str = "mat",
+                bt: int | None = None, interpret: bool = False):
+    """Fused inverse NTT + n^-1 scale + per-transform mod-p reduction.
+
+    x_pair: uint32 pair, [B, n1, n2] (layout="mat") or [B, n]
+    (layout="std", standard NTT index order).  p/mu: uint32 [B] prime and
+    its Barrett constant pair per transform.  Returns uint32 [B, n] in
+    natural coefficient order — bit-identical to ops/ntt.intt_modcrt.
+    """
+    t = tables(n)
+    n1, n2 = t["n1"], t["n2"]
+    lo, hi = x_pair
+    b = lo.shape[0]
+    if layout == "std":
+        lo = jnp.swapaxes(lo.reshape(b, n2, n1), -1, -2)
+        hi = jnp.swapaxes(hi.reshape(b, n2, n1), -1, -2)
+    bt = bt or _DEFAULT_BT[n]
+    pad = (-b) % bt
+    pv = p.reshape(-1, 1)
+    ml = mu[0].reshape(-1, 1)
+    mh = mu[1].reshape(-1, 1)
+    if pad:
+        lo = jnp.pad(lo, ((0, pad), (0, 0), (0, 0)))
+        hi = jnp.pad(hi, ((0, pad), (0, 0), (0, 0)))
+        pv = jnp.pad(pv, ((0, pad), (0, 0)), constant_values=1)
+        ml = jnp.pad(ml, ((0, pad), (0, 0)))
+        mh = jnp.pad(mh, ((0, pad), (0, 0)))
+    tb = tables(n)
+    args = (jnp.asarray(tb["w2i"]), jnp.asarray(tb["twi"][0]),
+            jnp.asarray(tb["twi"][1]), jnp.asarray(tb["w1i"]))
+    out = _inv_call(n, bt, interpret)(lo, hi, pv, ml, mh, *args)
+    return out[:b].reshape(b, n)
+
+
+def mat_to_std(pair, n: int):
+    """Permute a mat-layout pair [..., n1, n2] to std order [..., n]."""
+    n1, n2 = _FACTORS[n]
+    lead = pair[0].shape[:-2]
+    return tuple(jnp.swapaxes(v, -1, -2).reshape(lead + (n,)) for v in pair)
+
+
+def std_to_mat(pair, n: int):
+    """Permute a std-order pair [..., n] to mat layout [..., n1, n2]."""
+    n1, n2 = _FACTORS[n]
+    lead = pair[0].shape[:-1]
+    return tuple(jnp.swapaxes(v.reshape(lead + (n2, n1)), -1, -2)
+                 for v in pair)

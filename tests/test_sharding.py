@@ -126,15 +126,15 @@ def test_single_ntt_sharded_across_chips(small_ctx):
     x = rng.integers(0, 1 << 31, size=(2, n // 2), dtype=np.uint32)
     want_lo, want_hi = ntt_ops.ntt_fwd_u32(jnp.asarray(x), n)
 
+    t = ntt_ops.get_tables(n)
+    assert t.n1 % 8 == 0 and t.n2 % 8 == 0  # ntt_fwd_sharded precondition
     mesh = pmesh.make_mesh(1, 8)
     fn = pmesh.ntt_fwd_sharded(mesh, n)
     got = fn(jnp.asarray(x))
-    t = ntt_ops.get_tables(n)
     got_lo = np.asarray(got[0]).reshape(2, n)
     got_hi = np.asarray(got[1]).reshape(2, n)
     np.testing.assert_array_equal(got_lo, np.asarray(want_lo))
     np.testing.assert_array_equal(got_hi, np.asarray(want_hi))
-    assert t.n1 % 8 == 0 and t.n2 % 8 == 0
 
 
 def test_resharding_roundtrip(small_ctx):
