@@ -29,6 +29,7 @@ from .params import Params
 from .ops import barrett as barrett_ops
 from .ops import crt as crt_ops
 from .ops import modp, ntt
+from .ops import ntt_kernels as nk
 from .ops import pointwise as pw
 from .ops import relin as relin_ops
 
@@ -62,11 +63,16 @@ def _poly_long_div_mod_p(num_deg: int, m: list[int], p: int) -> np.ndarray:
 class Context:
     """Precomputed state for one parameter set (one ring / prime chain)."""
 
-    def __init__(self, params: Params):
+    def __init__(self, params: Params, ntt_layout: str = "mat"):
         self.params = params
         pr = params
         self.n = pr.ntt_len
         self.mod_len = pr.mod_len
+        # NTT-domain order for all device-resident data: "mat" (the v2
+        # transpose-free four-step layout, ops/ntt_kernels.py) or "std"
+        # (reference NTT index order).  Pointwise ops are order-agnostic;
+        # only fwd/inv edges depend on it.
+        self.ntt_layout = ntt_layout
         ps = list(pr.crt_primes)
         self.primes_np = np.array(ps, dtype=np.uint32)
         self.mus_np = _mu_arrays(ps)
@@ -114,7 +120,8 @@ class Context:
         u_crt_np = residue_planes(u_per_p)
         # one jitted program (eager op-by-op execution is pathological over
         # remote-device tunnels); results stay device-resident
-        fwd = jax.jit(lambda v: ntt.ntt_fwd_u32(v, self.n))
+        fwd = jax.jit(lambda v: nk.fwd_linear(v, self.n,
+                                              layout=self.ntt_layout))
         self.m_ntt = fwd(jnp.asarray(self.m_crt_np))   # device pair
         self.u_ntt = fwd(jnp.asarray(u_crt_np))        # device pair
         self.m_crt_dev = jax.device_put(self.m_crt_np)
@@ -174,9 +181,10 @@ class Context:
     @lru_cache(maxsize=None)
     def _jitted_c2n(self, lvl: int):
         n = self.n
+        layout = self.ntt_layout
 
         def f(c):
-            return ntt.ntt_fwd_batched(c, n)
+            return nk.fwd_linear(c, n, layout=layout)
         return jax.jit(f)
 
     def _jit_c2n(self, lvl: int):
@@ -189,17 +197,18 @@ class Context:
         half = n // 2
         mod_len = self.mod_len
 
+        layout = self.ntt_layout
+
         def f(x_pair, u_lo, u_hi, m_lo, m_hi, m_crt):
             pj = jnp.asarray(primes)
             muj = (jnp.asarray(mus[0]), jnp.asarray(mus[1]))
-            full = ntt.intt_modcrt(x_pair, n, pj[:, None],
-                                   (muj[0][:, None], muj[1][:, None]))
+            full = nk.inv_linear(x_pair, n, pj, muj, layout=layout)
             if not is_prod:
                 return full[..., :half]
             return barrett_ops.barrett_reduce(
                 full, mod_len=mod_len, n=n,
                 u_ntt=(u_lo[:pn], u_hi[:pn]), m_ntt=(m_lo[:pn], m_hi[:pn]),
-                m_crt=m_crt[:pn], primes=pj, mus=muj)
+                m_crt=m_crt[:pn], primes=pj, mus=muj, layout=layout)
         return jax.jit(f)
 
     def _jit_n2c(self, lvl: int, is_prod: bool):
@@ -229,9 +238,11 @@ class Context:
         w = pr.log_relin
         n = self.n
 
+        layout = self.ntt_layout
+
         def f(raw, ek_lo, ek_hi):
-            return relin_ops.relinearize(raw, ek_lo, ek_hi,
-                                         w=w, knum=knum, pnum=pn, n=n)
+            return relin_ops.relinearize(raw, ek_lo, ek_hi, w=w, knum=knum,
+                                         pnum=pn, n=n, layout=layout)
         return jax.jit(f)
 
     def _jit_relin(self, lvl: int):
@@ -248,18 +259,19 @@ class Context:
         m_words, mi_words, bi = self._icrt[lvl]
         mod_len = self.mod_len
 
+        layout = self.ntt_layout
+
         def one(raw_b, a_pair, u_lo, u_hi, m_lo, m_hi, m_crt):
             pj = jnp.asarray(primes)
             muj = (jnp.asarray(mus[0]), jnp.asarray(mus[1]))
             c = crt_ops.crt_from_raw(raw_b, pj, muj)
-            b_pair = ntt.ntt_fwd_u32(c, n)
+            b_pair = nk.fwd_linear(c, n, layout=layout)
             prod = modp.mul_modp(b_pair, a_pair)
-            full = ntt.intt_modcrt(prod, n, pj[:, None],
-                                   (muj[0][:, None], muj[1][:, None]))
+            full = nk.inv_linear(prod, n, pj, muj, layout=layout)
             red = barrett_ops.barrett_reduce(
                 full, mod_len=mod_len, n=n,
                 u_ntt=(u_lo[:pn], u_hi[:pn]), m_ntt=(m_lo[:pn], m_hi[:pn]),
-                m_crt=m_crt[:pn], primes=pj, mus=muj)
+                m_crt=m_crt[:pn], primes=pj, mus=muj, layout=layout)
             return crt_ops.icrt_to_raw(
                 red, pj, muj, jnp.asarray(bi), jnp.asarray(mi_words),
                 jnp.asarray(m_words))

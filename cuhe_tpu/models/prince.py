@@ -33,6 +33,7 @@ from ..dhs import CuDHS
 from ..ops import barrett as barrett_ops
 from ..ops import crt as crt_ops
 from ..ops import modp, ntt
+from ..ops import ntt_kernels as nk
 from ..ops import pointwise as pw
 from ..ops import relin as relin_ops
 
@@ -219,18 +220,19 @@ class Prince:
             muj = (jnp.asarray(mus_np[0]), jnp.asarray(mus_np[1]))
             return pj, muj
 
+        layout = ctx.ntt_layout
+
         def c2n(c, tb):
-            return ntt.ntt_fwd_batched(c, n, chunk=8)
+            return nk.fwd_linear(c, n, layout=layout)
 
         def n2c_prod(pair, tb):
             pj, muj = consts()
-            full = ntt.intt_modcrt(pair, n, pj[:, None],
-                                   (muj[0][:, None], muj[1][:, None]))
+            full = nk.inv_linear(pair, n, pj, muj, layout=layout)
             return barrett_ops.barrett_reduce(
                 full, mod_len=ctx.mod_len, n=n,
                 u_ntt=(tb["u_lo"][:pn], tb["u_hi"][:pn]),
                 m_ntt=(tb["m_lo"][:pn], tb["m_hi"][:pn]),
-                m_crt=tb["m_crt"][:pn], primes=pj, mus=muj)
+                m_crt=tb["m_crt"][:pn], primes=pj, mus=muj, layout=layout)
 
         def raw_of(c, tb):
             pj, muj = consts()
@@ -243,8 +245,8 @@ class Prince:
 
         def relin_raw(raw, tb):
             pair = relin_ops.relinearize(raw, tb["ek_lo"], tb["ek_hi"],
-                                         w=pr.log_relin,
-                                         knum=cst["knum"], pnum=pn, n=n)
+                                         w=pr.log_relin, knum=cst["knum"],
+                                         pnum=pn, n=n, layout=layout)
             return n2c_prod(pair, tb)
 
         def modswitch(c, tb):
@@ -375,21 +377,50 @@ class Prince:
     # full circuit (princeEncrypt, Prince.cu:148-188)
     # ------------------------------------------------------------------
     def encrypt_blocks(self, message_bits, key0_bits, key1_bits,
-                       max_rounds: int | None = None, check=None):
+                       max_rounds: int | None = None, check=None,
+                       resume=None, on_layer=None):
         """Run the PRINCE circuit homomorphically.
 
         message/key bits: lists of 64 ints.  Returns the final CRT-domain
         state (level CIRCUIT_DEPTH-1) or, with max_rounds set, the state
         after that many S-box layers (for known-answer testing).
+
+        resume: optional (state, level, done_layers) from a checkpoint
+        taken right after S-box layer `done_layers` (utils.checkpoint /
+        examples/run_prince.py --resume): message/key ciphertexts are
+        re-derived (deterministic for a fixed seed), the circuit
+        fast-forwards past the first `done_layers` S-box layers and
+        continues from the saved state.  on_layer(done, state, level) is
+        invoked after every applied S-box layer (checkpoint hook).  The
+        reference has no mid-circuit persistence at all (SURVEY.md
+        section 5).
         """
         self.level = 0
         state = self.encrypt_state(message_bits)
         k0 = self.encrypt_state(key0_bits)
         k1 = self.encrypt_state(key1_bits)
+        skip = 0
+        if resume is not None:
+            state, self.level, skip = resume[0], int(resume[1]), int(resume[2])
+        live = skip == 0
         rnd = 0
-        state = self.add_round_key(state, k0, 0)
-        state = self.add_round_key(state, k1, 0)
-        state = self.add_rc(state, rnd, 0)
+        done = 0
+
+        def sbox(s, inverse):
+            # fast-forward guard: layers <= skip were in the checkpoint
+            nonlocal done, live
+            done += 1
+            if done <= skip:
+                live = done == skip
+                return s
+            s = self.sbox_layer(s, inverse=inverse)
+            if on_layer is not None:
+                on_layer(done, s, self.level)
+            return s
+
+        def lin(s, fn):
+            # linear ops re-run only once the resume point is reached
+            return fn(s) if live else s
 
         def ms_key(k, from_lvl):
             # Key ciphertexts are added at the current level by reducing their
@@ -399,31 +430,32 @@ class Prince:
             pn = self.ctx.params.num_crt_prime_lvl(self.level)
             return k[:, :pn]
 
-        done = 0
+        state = lin(state, lambda s: self.add_round_key(s, k0, 0))
+        state = lin(state, lambda s: self.add_round_key(s, k1, 0))
+        state = lin(state, lambda s: self.add_rc(s, rnd, 0))
+
         for i in range(5):
             rnd += 1
-            state = self.sbox_layer(state, inverse=False)
-            done += 1
-            if check is not None:
+            state = sbox(state, inverse=False)
+            if check is not None and live:
                 check(rnd - 1, state, self.level)
             if max_rounds is not None and done >= max_rounds:
                 return state
             lvl = self.level
-            state = self.mix_column(state, lvl)
-            state = self.add_rc(state, rnd, lvl)
-            state = self.add_round_key(state, ms_key(k1, 0), lvl)
+            state = lin(state, lambda s: self.mix_column(s, lvl))
+            state = lin(state, lambda s: self.add_rc(s, rnd, lvl))
+            state = lin(state,
+                        lambda s: self.add_round_key(s, ms_key(k1, 0), lvl))
 
-        state = self.sbox_layer(state, inverse=False)
-        done += 1
-        if check is not None:
+        state = sbox(state, inverse=False)
+        if check is not None and live:
             check(rnd, state, self.level)
         if max_rounds is not None and done >= max_rounds:
             return state
 
-        state = self.m_p(state, self.level)
-        state = self.sbox_layer(state, inverse=True)
-        done += 1
-        if check is not None:
+        state = lin(state, lambda s: self.m_p(s, self.level))
+        state = sbox(state, inverse=True)
+        if check is not None and live:
             check(rnd + 1, state, self.level)
         if max_rounds is not None and done >= max_rounds:
             return state
@@ -431,12 +463,12 @@ class Prince:
         for i in range(5):
             rnd += 1
             lvl = self.level
-            state = self.add_round_key(state, ms_key(k1, 0), lvl)
-            state = self.add_rc(state, rnd, lvl)
-            state = self.inv_mix_column(state, lvl)
-            state = self.sbox_layer(state, inverse=True)
-            done += 1
-            if check is not None:
+            state = lin(state,
+                        lambda s: self.add_round_key(s, ms_key(k1, 0), lvl))
+            state = lin(state, lambda s: self.add_rc(s, rnd, lvl))
+            state = lin(state, lambda s: self.inv_mix_column(s, lvl))
+            state = sbox(state, inverse=True)
+            if check is not None and live:
                 check(rnd + 1, state, self.level)
             if max_rounds is not None and done >= max_rounds:
                 return state

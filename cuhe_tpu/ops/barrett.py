@@ -17,7 +17,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from . import modp, ntt
+from . import modp
+from . import ntt_kernels as nk
 
 
 def _crt_sub(a, b, p):
@@ -26,24 +27,26 @@ def _crt_sub(a, b, p):
 
 
 def barrett_reduce(f, *, mod_len: int, n: int, u_ntt, m_ntt, m_crt,
-                   primes, mus):
+                   primes, mus, layout: str = "mat"):
     """f: uint32 [pnum, n] residues of a degree <= 2*mod_len-2 polynomial.
 
     Returns uint32 [pnum, n//2] (crt_len) residues of f mod m(x).
-    u_ntt, m_ntt: pairs [pnum, n]; m_crt: uint32 [pnum, n//2] (these hold
-    (m - x^mod_len) as uploaded by setPolyModulus, Operations.cu:213-238).
+    u_ntt, m_ntt: pairs [pnum, n] in NTT-domain order `layout`; m_crt:
+    uint32 [pnum, n//2] (these hold (m - x^mod_len) as uploaded by
+    setPolyModulus, Operations.cu:213-238).
     primes: uint32 [pnum]; mus: Barrett pair for primes.
     """
     pnum = f.shape[-2]
     half = n // 2
-    p_col = primes[:pnum, None]
-    mu_col = (mus[0][:pnum, None], mus[1][:pnum, None])
+    p_row = primes[:pnum]
+    mu_row = (mus[0][:pnum], mus[1][:pnum])
+    p_col = p_row[:, None]
 
     # step 1: c1 = intt(u * ntt(f >> (mod_len-1)))        (deg 2n-2)
     g = f[..., mod_len - 1: mod_len - 1 + half]
-    t1 = ntt.ntt_fwd_batched(g, n, chunk=8)
+    t1 = nk.fwd_linear(g, n, layout=layout)
     t1 = modp.mul_modp(t1, u_ntt)
-    c1 = ntt.intt_modcrt(t1, n, p_col, mu_col)
+    c1 = nk.inv_linear(t1, n, p_row, mu_row, layout=layout)
 
     # step 2: zero low mod_len coeffs -> (u*f >> (2n-1)) << n ; take high half
     idx = jnp.arange(n, dtype=jnp.int32)
@@ -51,9 +54,9 @@ def barrett_reduce(f, *, mod_len: int, n: int, u_ntt, m_ntt, m_crt,
 
     # step 3: c2 = intt((m - x^n)_ntt * ntt(c1 >> mod_len))
     h = c1[..., mod_len: mod_len + half]
-    t2 = ntt.ntt_fwd_batched(h, n, chunk=8)
+    t2 = nk.fwd_linear(h, n, layout=layout)
     t2 = modp.mul_modp(t2, m_ntt)
-    c2 = ntt.intt_modcrt(t2, n, p_col, mu_col)
+    c2 = nk.inv_linear(t2, n, p_row, mu_row, layout=layout)
 
     # step 4 (barrett_sub_1): subtract c1 from the high half of f
     mask_high = (idx >= mod_len) & (idx < 2 * mod_len)

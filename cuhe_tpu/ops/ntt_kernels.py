@@ -266,8 +266,9 @@ def _make_inv_kernel(bt: int, n1: int, n2: int, ninv):
         nv = (jnp.full_like(y[0], jnp.uint32(ninv[0])),
               jnp.full_like(y[0], jnp.uint32(ninv[1])))
         y = modp.mul_modp(y, nv)
-        p = p_ref[...].reshape(1, bt, 1)
-        mu = (mulo_ref[...].reshape(1, bt, 1), muhi_ref[...].reshape(1, bt, 1))
+        p = jnp.swapaxes(p_ref[...], 0, 1)                # [1, bt, 1]
+        mu = (jnp.swapaxes(mulo_ref[...], 0, 1),
+              jnp.swapaxes(muhi_ref[...], 0, 1))
         o_ref[...] = jnp.swapaxes(modp.mod_u32(y, p, mu), 0, 1)
 
     return kernel
@@ -278,12 +279,15 @@ def _inv_call(n: int, bt: int, interpret: bool):
     t = tables(n)
     n1, n2 = t["n1"], t["n2"]
     kernel = _make_inv_kernel(bt, n1, n2, t["ninv"])
-    smem = pltpu.SMEM if (pltpu is not None and not interpret) else None
 
     @jax.jit
     def call(xlo, xhi, p, mu_lo, mu_hi, w2i, twlo, twhi, w1i):
         bsz = xlo.shape[0]
-        scal = pl.BlockSpec((bt, 1), lambda i: (i, 0), memory_space=smem)
+        # per-transform scalars as [B, 1, 1]: 3D blocks keep the (1, 1)
+        # trailing dims equal to the array's, so any bt is legal (2D (bt, 1)
+        # blocks are rejected for bt % 8 != 0, and SMEM refs only allow
+        # scalar loads)
+        scal = pl.BlockSpec((bt, 1, 1), lambda i: (i, 0, 0))
         out = pl.pallas_call(
             kernel,
             grid=(bsz // bt,),
@@ -323,20 +327,96 @@ def intt_modcrt(x_pair, n: int, p, mu, *, layout: str = "mat",
         hi = jnp.swapaxes(hi.reshape(b, n2, n1), -1, -2)
     bt = bt or _DEFAULT_BT[n]
     pad = (-b) % bt
-    pv = p.reshape(-1, 1)
-    ml = mu[0].reshape(-1, 1)
-    mh = mu[1].reshape(-1, 1)
+    pv = p.reshape(-1, 1, 1)
+    ml = mu[0].reshape(-1, 1, 1)
+    mh = mu[1].reshape(-1, 1, 1)
     if pad:
         lo = jnp.pad(lo, ((0, pad), (0, 0), (0, 0)))
         hi = jnp.pad(hi, ((0, pad), (0, 0), (0, 0)))
-        pv = jnp.pad(pv, ((0, pad), (0, 0)), constant_values=1)
-        ml = jnp.pad(ml, ((0, pad), (0, 0)))
-        mh = jnp.pad(mh, ((0, pad), (0, 0)))
+        pv = jnp.pad(pv, ((0, pad), (0, 0), (0, 0)), constant_values=1)
+        ml = jnp.pad(ml, ((0, pad), (0, 0), (0, 0)))
+        mh = jnp.pad(mh, ((0, pad), (0, 0), (0, 0)))
     tb = tables(n)
     args = (jnp.asarray(tb["w2i"]), jnp.asarray(tb["twi"][0]),
             jnp.asarray(tb["twi"][1]), jnp.asarray(tb["w1i"]))
     out = _inv_call(n, bt, interpret)(lo, hi, pv, ml, mh, *args)
     return out[:b].reshape(b, n)
+
+
+# ---------------------------------------------------------------------------
+# library front-end: backend dispatch + "linear" (flattened) layouts
+# ---------------------------------------------------------------------------
+#
+# All library call sites (context conversions, Barrett, relinearization, the
+# fused gate step) go through fwd_linear / inv_linear.  NTT-domain arrays are
+# kept flat [..., n] in **mat-linear** order (row-major [k1, k2] of the
+# four-step matrix; global index k1*n2 + k2, a fixed permutation of the
+# standard NTT index k1 + n1*k2).  Pointwise mod-P ops are order-agnostic, so
+# the permutation is invisible except at fwd/inv edges — where it deletes
+# every transpose (VERDICT r1 item 4).
+
+import os as _os
+
+_V2_TPU = _os.environ.get("CUHE_NTT_V2", "1") == "1"
+
+
+def use_fused() -> bool:
+    """Fused Pallas kernels run on TPU; other backends use the XLA path."""
+    return _V2_TPU and jax.default_backend() == "tpu"
+
+
+def fwd_linear(x, n: int, *, layout: str = "mat", bt: int | None = None):
+    """Forward NTT of u32 coefficients [..., n/2] -> pair [..., n].
+
+    layout="mat": mat-linear order (row-major [k1, k2]).
+    layout="std": standard NTT order, bit-identical to ops/ntt.ntt_fwd_u32.
+    """
+    lead = x.shape[:-1]
+    flat = x.reshape(-1, x.shape[-1])
+    if use_fused():
+        lo, hi = ntt_fwd(flat, n, layout="mat", bt=bt)
+        if layout == "std":
+            lo, hi = mat_to_std((lo, hi), n)
+            return lo.reshape(lead + (n,)), hi.reshape(lead + (n,))
+        return (lo.reshape(lead + (n,)), hi.reshape(lead + (n,)))
+    from . import ntt as ntt_mod
+
+    lo, hi = ntt_mod.ntt_fwd_batched(flat, n, chunk=8)
+    if layout == "mat":
+        lo, hi = std_to_mat((lo, hi), n)
+    return lo.reshape(lead + (n,)), hi.reshape(lead + (n,))
+
+
+def inv_linear(x_pair, n: int, p, mu, *, layout: str = "mat",
+               bt: int | None = None):
+    """Inverse NTT + n^-1 scale + mod-p reduce of a pair [..., n].
+
+    p: uint32 broadcastable against the leading dims (e.g. [pnum] for
+    [batch, pnum, n] data); mu: matching Barrett pair.  Returns uint32
+    [..., n] in natural coefficient order.
+    """
+    lo, hi = x_pair
+    lead = lo.shape[:-1]
+    p_b = jnp.broadcast_to(p, lead).reshape(-1)
+    mu_b = (jnp.broadcast_to(mu[0], lead).reshape(-1),
+            jnp.broadcast_to(mu[1], lead).reshape(-1))
+    flat = (lo.reshape(-1, n), hi.reshape(-1, n))
+    if use_fused():
+        if layout == "mat":
+            n1, n2 = _FACTORS[n]
+            xm = tuple(v.reshape(-1, n1, n2) for v in flat)
+        else:
+            xm = std_to_mat(flat, n)
+        out = intt_modcrt(xm, n, p_b, mu_b, layout="mat", bt=bt)
+        return out.reshape(lead + (n,))
+    from . import ntt as ntt_mod
+
+    if layout == "mat":
+        n1, n2 = _FACTORS[n]
+        flat = mat_to_std(tuple(v.reshape(-1, n1, n2) for v in flat), n)
+    out = ntt_mod.intt_modcrt(flat, n, p_b[:, None],
+                              (mu_b[0][:, None], mu_b[1][:, None]))
+    return out.reshape(lead + (n,))
 
 
 def mat_to_std(pair, n: int):

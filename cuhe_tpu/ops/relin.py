@@ -4,49 +4,75 @@ TPU-native equivalent of cuhe/Relinearization.cu:43-88 + the windowed-digit
 NTT (Base.cu:345-385) and the per-prime dot product kernel
 (relinMulAddPerCrt, Base.cu:1024-1033).
 
-Design change vs the reference: eval keys live device-resident in HBM as a
-single [num_eval_key, pnum, ntt_len] pair (the reference streamed them from
-pinned host memory per prime because 2015-era GPUs were small,
-Relinearization.cu:81-83); sharding them across the `crt` mesh axis replaces
-the streaming double-buffer.  The digit contraction is a lax.scan so only one
-[pnum, ntt_len] accumulator is live.
+Design changes vs the reference:
+  * eval keys live device-resident in HBM as a single
+    [num_eval_key, pnum, ntt_len] pair (the reference streamed them from
+    pinned host memory per prime because 2015-era GPUs were small,
+    Relinearization.cu:81-83); sharding them across the `crt` mesh axis
+    replaces the streaming double-buffer.
+  * (round 2) the digit NTTs run as one BATCHED fused transform per digit
+    chunk instead of a lax.scan of single transforms — the v2 Pallas kernel
+    amortises across the chunk, and the digit contraction accumulates
+    through a log-depth add_modp tree.  Chunking bounds peak memory to
+    [chunk, batch, n] pairs (digit_chunk=0 processes all knum at once).
 """
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from . import modp, ntt
+from . import ntt_kernels as nk
+
+
+def _tree_sum_modp(pair, axis: int = 0):
+    """Mod-P sum over `axis` via a log-depth add_modp tree."""
+    lo, hi = pair
+    m = lo.shape[axis]
+    while m > 1:
+        half = m // 2
+        a = (jnp.take(lo, jnp.arange(half), axis=axis),
+             jnp.take(hi, jnp.arange(half), axis=axis))
+        b = (jnp.take(lo, jnp.arange(half, 2 * half), axis=axis),
+             jnp.take(hi, jnp.arange(half, 2 * half), axis=axis))
+        s = modp.add_modp(a, b)
+        if m % 2:
+            rest = (jnp.take(lo, jnp.arange(2 * half, m), axis=axis),
+                    jnp.take(hi, jnp.arange(2 * half, m), axis=axis))
+            s = (jnp.concatenate([s[0], rest[0]], axis=axis),
+                 jnp.concatenate([s[1], rest[1]], axis=axis))
+        lo, hi = s
+        m = lo.shape[axis]
+    return (jnp.squeeze(lo, axis=axis), jnp.squeeze(hi, axis=axis))
 
 
 def relinearize(raw: jnp.ndarray, ek_lo: jnp.ndarray, ek_hi: jnp.ndarray,
-                *, w: int, knum: int, pnum: int, n: int, digit_chunk: int = 8):
+                *, w: int, knum: int, pnum: int, n: int,
+                layout: str = "mat", digit_chunk: int = 16):
     """raw: uint32 [..., w32, raw_len] RAW ciphertext words (level lvl).
 
-    ek_lo/ek_hi: uint32 [num_eval_key, pnum_max, n] eval keys in NTT domain.
-    Uses the first `knum` keys and `pnum` planes for this level.
+    ek_lo/ek_hi: uint32 [num_eval_key, pnum_max, n] eval keys in NTT domain
+    (same layout as `layout`).  Uses the first `knum` keys and `pnum` planes.
     Returns an NTT-domain pair [..., pnum, n]:
         dst[..., p, :] = sum_j ntt(digit_j(raw)) * ek[j, p].
     Supports leading batch dims.
     """
     w32 = raw.shape[-2]
     batch = raw.shape[:-2]
+    nb = len(batch)
+    chunk = knum if not digit_chunk else min(digit_chunk, knum)
 
-    def step(acc, xs):
-        j, el, eh = xs
-        # extract digit j and NTT it inside the scan: peak memory is one
-        # [batch, n] pair instead of knum of them (the reference streams the
-        # equivalent data from pinned host memory, Relinearization.cu:81-83)
-        digit = ntt.extract_digit_dyn(raw, w, j, w32)
-        dl, dh = ntt.ntt_fwd_batched(digit, n, chunk=digit_chunk)
+    acc = None
+    for j0 in range(0, knum, chunk):
+        c = min(chunk, knum - j0)
+        # windowed digits [c, ..., raw_len] (ntt_1_*_ext_block semantics)
+        digits = jnp.stack(
+            [ntt.extract_digit(raw, w, j, w32) for j in range(j0, j0 + c)])
+        dl, dh = nk.fwd_linear(digits, n, layout=layout)  # [c, ..., n]
+        ek_shape = (c,) + (1,) * nb + (pnum, n)
+        el = ek_lo[j0:j0 + c, :pnum].reshape(ek_shape)
+        eh = ek_hi[j0:j0 + c, :pnum].reshape(ek_shape)
         prod = modp.mul_modp((dl[..., None, :], dh[..., None, :]), (el, eh))
-        acc = modp.add_modp(acc, prod)
-        return acc, None
-
-    init = (jnp.zeros(batch + (pnum, n), jnp.uint32),
-            jnp.zeros(batch + (pnum, n), jnp.uint32))
-    xs = (jnp.arange(knum, dtype=jnp.uint32),
-          ek_lo[:knum, :pnum], ek_hi[:knum, :pnum])
-    (acc_lo, acc_hi), _ = jax.lax.scan(step, init, xs)
-    return acc_lo, acc_hi
+        part = _tree_sum_modp(prod, axis=0)  # [..., pnum, n]
+        acc = part if acc is None else modp.add_modp(acc, part)
+    return acc

@@ -26,6 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..context import Context
 from ..ops import modp, ntt, relin as relin_ops
+from ..ops import ntt_kernels as nk
 from ..ops import pointwise as pw
 
 
@@ -70,6 +71,8 @@ def batched_and_relin_modswitch(ctx: Context, lvl: int):
     from ..ops import barrett as barrett_ops
     from ..ops import crt as crt_ops
 
+    layout = ctx.ntt_layout
+
     def step(a_lo, a_hi, b_lo, b_hi, ek_lo, ek_hi,
              u_lo, u_hi, m_lo, m_hi, m_crt_full):
         pj = jnp.asarray(primes_np)
@@ -77,26 +80,24 @@ def batched_and_relin_modswitch(ctx: Context, lvl: int):
         u_ntt = (u_lo[:pn], u_hi[:pn])
         m_ntt = (m_lo[:pn], m_hi[:pn])
         m_crt = m_crt_full[:pn]
-        p_col = pj[:, None]
-        mu_col = (muj[0][:, None], muj[1][:, None])
-        # AND: pointwise multiply in NTT domain
+        # AND: pointwise multiply in NTT domain (order-agnostic in `layout`)
         prod = modp.mul_modp((a_lo, a_hi), (b_lo, b_hi))
         # n2c with product degree: INTT + Barrett
-        full = ntt.intt_modcrt(prod, n, p_col, mu_col)
+        full = nk.inv_linear(prod, n, pj, muj, layout=layout)
         red = barrett_ops.barrett_reduce(
             full, mod_len=mod_len, n=n, u_ntt=u_ntt, m_ntt=m_ntt,
-            m_crt=m_crt, primes=pj, mus=muj)
+            m_crt=m_crt, primes=pj, mus=muj, layout=layout)
         # c2r (ICRT) to extract relinearization digits
         raw = crt_ops.icrt_to_raw(red, pj, muj, jnp.asarray(bi),
                                   jnp.asarray(mi_words), jnp.asarray(m_words))
         # relinearize (batch-generic): digit NTTs + eval-key contraction
-        r_lo, r_hi = relin_ops.relinearize(raw, ek_lo, ek_hi,
-                                           w=w, knum=knum, pnum=pn, n=n)
+        r_lo, r_hi = relin_ops.relinearize(raw, ek_lo, ek_hi, w=w, knum=knum,
+                                           pnum=pn, n=n, layout=layout)
         # n2c of the relinearized product (Barrett again)
-        full2 = ntt.intt_modcrt((r_lo, r_hi), n, p_col, mu_col)
+        full2 = nk.inv_linear((r_lo, r_hi), n, pj, muj, layout=layout)
         red2 = barrett_ops.barrett_reduce(
             full2, mod_len=mod_len, n=n, u_ntt=u_ntt, m_ntt=m_ntt,
-            m_crt=m_crt, primes=pj, mus=muj)
+            m_crt=m_crt, primes=pj, mus=muj, layout=layout)
         # modswitch down one level
         return pw.mod_switch(red2, pj, muj, jnp.asarray(invp_last), pr.mod_msg)
 

@@ -31,6 +31,11 @@ def main():
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--check-rounds", action="store_true",
                     help="decrypt and print the state after every S-box layer")
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="save the state after every S-box layer to DIR")
+    ap.add_argument("--resume", default=None,
+                    help="resume from a layer checkpoint .npz (see "
+                         "--checkpoint-dir); fast-forwards the circuit")
     args = ap.parse_args()
 
     print("---------- Precomputation ----------")
@@ -53,10 +58,32 @@ def main():
             print("   expected:", exp, "OK" if s == exp else "MISMATCH",
                   flush=True)
 
+    on_layer = None
+    if args.checkpoint_dir:
+        from cuhe_tpu.utils import checkpoint as ckpt
+        os.makedirs(args.checkpoint_dir, exist_ok=True)
+
+        def on_layer(done, state, lvl):
+            path = os.path.join(args.checkpoint_dir, f"layer{done:02d}.npz")
+            ckpt.save_state(path, state, lvl, done=done)
+            print(f"checkpointed layer {done} (level {lvl}) -> {path}",
+                  flush=True)
+
+    resume = None
+    if args.resume:
+        import numpy as np
+        from cuhe_tpu.utils import checkpoint as ckpt
+        state0, lvl0 = ckpt.load_state(args.resume)
+        done0 = int(np.load(args.resume)["done"])
+        resume = (state0, lvl0, done0)
+        print(f"resuming after S-box layer {done0} (level {lvl0})",
+              flush=True)
+
     print("---------- PRINCE ENC ----------")
     t = OTimer(); t.start()
     state = p.encrypt_blocks([0] * 64, [1] * 64, [0] * 64,
-                             max_rounds=args.rounds, check=check)
+                             max_rounds=args.rounds, check=check,
+                             resume=resume, on_layer=on_layer)
     t.stop(); t.show("Prince Encryption")
 
     if args.rounds is None:

@@ -88,3 +88,33 @@ def test_check_keys(dhs, msg_rng):
     y = dhs3.encrypt(dhs3.batcher.encode(x), 0)
     z = dhs.batcher.decode(dhs.decrypt(y, 0))
     assert z == x
+
+
+def test_batcher_third_ring_runtime_primitive_poly():
+    """Batching on a ring whose factor degree has no on-file primitive
+    polynomial (VERDICT r1 item 5): m=73, ord_2(73)=9, 8 slots of GF(2^9).
+
+    The reference handles any factor degree via trial division
+    (examples/DHS/DHS.cu:439-459); we generate a primitive polynomial for
+    GF(2^d) at runtime (hostmath.primitive_poly) and build the factors from
+    cyclotomic cosets -- identical factor set.
+    """
+    from cuhe_tpu import hostmath as hm
+    from cuhe_tpu.dhs import Batcher
+
+    m, d = 73, 9
+    assert pow(2, d, m) == 1 and all(pow(2, t, m) != 1 for t in range(1, d))
+    poly_mod = hm.gen_poly_mod(m)
+    slots = (len(poly_mod) - 1) // d
+    assert slots == 8
+    b = Batcher(poly_mod, d, slots)
+    rng = np.random.default_rng(11)
+    for _ in range(4):
+        bits = [int(v) for v in rng.integers(0, 2, size=slots)]
+        enc = b.encode(bits)
+        assert b.decode(enc) == bits
+    # decode is GF(2)-linear: decode(enc(a) ^ enc(b)) == a xor b slotwise
+    a = [int(v) for v in rng.integers(0, 2, size=slots)]
+    c = [int(v) for v in rng.integers(0, 2, size=slots)]
+    summed = [(x + y) % 2 for x, y in zip(b.encode(a), b.encode(c))]
+    assert b.decode(summed) == [x ^ y for x, y in zip(a, c)]

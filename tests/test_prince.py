@@ -82,3 +82,35 @@ def test_prince_round0_known_answer():
 
     p.encrypt_blocks([0] * 64, [1] * 64, [0] * 64, max_rounds=1, check=check)
     assert seen[0] == pr.Prince.EXPECTED_ROUNDS[0]
+
+
+@pytest.mark.skipif(not os.environ.get("CUHE_RUN_SLOW"),
+                    reason="set CUHE_RUN_SLOW=1 for the checkpoint/resume test")
+def test_prince_checkpoint_resume(tmp_path):
+    """Mid-circuit checkpoint/resume (utils.checkpoint consumer, VERDICT r1
+    item 8): saving after S-box layer 1 and resuming reproduces the straight
+    2-layer state bit-for-bit (light depth-5 ring)."""
+    from cuhe_tpu.dhs import CuDHS
+    from cuhe_tpu.utils import checkpoint as ckpt
+
+    A, B, C = [0] * 64, [1] * 64, [0] * 64
+    mk = lambda: pr.Prince(dhs=CuDHS(5, 2, 16, 50, 25, 8191, seed=13))
+
+    want = np.asarray(mk().encrypt_blocks(A, B, C, max_rounds=2))
+
+    path = str(tmp_path / "prince_l1.npz")
+    p1 = mk()
+
+    def save(done, state, lvl):
+        if done == 1:
+            ckpt.save_state(path, state, lvl, done=done)
+
+    p1.encrypt_blocks(A, B, C, max_rounds=1, on_layer=save)
+
+    state, lvl = ckpt.load_state(path)
+    done = int(np.load(path)["done"])
+    assert done == 1
+    p2 = mk()
+    got = np.asarray(p2.encrypt_blocks(A, B, C, max_rounds=2,
+                                       resume=(state, lvl, done)))
+    np.testing.assert_array_equal(got, want)
