@@ -8,6 +8,18 @@ dispatch + one scalar fetch brackets K full transforms.  This removes host
 dispatch / tunnel-latency noise, mirroring the reference's cudaEvent timing
 around a launch burst (tests/test_ntt.cu:67-100).
 
+Correctness gating (VERDICT r1 item 2): every implementation that can set a
+reported number is checked against the O(n^2) DFT oracle (same generator
+g = 15893793146607301539 as tests/test_ntt.cu:38-64) IN THIS PROCESS before
+it is timed; a mismatch aborts the bench.  The headline is the library's
+shipped hot path (fused Pallas kernels in mat layout on TPU), not a min
+across differently-configured paths.
+
+Variance hygiene (VERDICT r1 item 9): each timing records min AND max over
+repeats, and the headline point is re-measured at the end of the run; all
+raw numbers land in bench_details.json so throttled-phase results are
+distinguishable from quiet-phase ones.
+
 Prints exactly ONE JSON line on stdout:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
 vs_baseline is the speedup factor over the reference's recorded number
@@ -43,25 +55,22 @@ def main():
         pass
 
     from cuhe_tpu import hostmath as hm
-    from cuhe_tpu.ops import modp, ntt
+    from cuhe_tpu.ops import modp, ntt, ntt_kernels as nk
 
     dev = jax.devices()[0]
+    on_tpu = jax.default_backend() == "tpu"
     log(f"backend: {jax.default_backend()}, device: {dev}")
 
     rng = np.random.default_rng(20260817)
     results = {}
-    CHUNK = 8
 
     def fori_viable() -> bool:
         """Probe whether lax.fori_loop programs compile on this backend.
 
         The axon tunnel's FIRST while-loop compile in a process has been
         observed to take ~7 minutes (subsequent ones ~2s), and in bad
-        sessions to hang indefinitely, while plain jit programs compile in
-        seconds.  Compile in a daemon thread with a deadline: on success the
-        process itself is warmed for all later fori compiles; on deadline we
-        fall back to dispatch-timed measurement (the XLA compile holds no
-        GIL, so the main thread continues safely)."""
+        sessions to hang indefinitely.  Compile in a daemon thread with a
+        deadline; on timeout fall back to dispatch-timed measurement."""
         import threading
 
         done = []
@@ -87,100 +96,104 @@ def main():
     log(f"fori_loop viable: {USE_FORI}"
         + ("" if USE_FORI else " (dispatch-timed fallback)"))
 
-    def time_ntt(n, b, iters, impl="xla"):
+    # ---- implementations under test -------------------------------------
+    def make_one(n, impl):
         half = n // 2
-        x = jnp.asarray(rng.integers(0, 1 << 31, size=(b, half),
-                                     dtype=np.uint32))
 
         def one(carry):
-            if impl == "pallas":
-                from cuhe_tpu.ops import pallas_kernels as pk
-
-                tile = {16384: 4, 32768: 2, 65536: 1}[n]
-                lo, hi = pk.ntt_fwd_pallas(carry, n, tile=min(tile, b))
-            else:
-                lo, hi = ntt.ntt_fwd_batched(carry, n, chunk=CHUNK)
+            if impl == "fused":  # shipped hot path: v2 Pallas, mat layout
+                lo, hi = nk.ntt_fwd(carry, n, layout="mat")
+                lo = lo.reshape(carry.shape[0], n)
+                hi = hi.reshape(carry.shape[0], n)
+            elif impl == "fused_std":
+                lo, hi = nk.ntt_fwd(carry, n, layout="std")
+            else:  # xla four-step (std order)
+                lo, hi = ntt.ntt_fwd_batched(carry, n, chunk=8)
             return lo[..., :half] ^ hi[..., :half]
 
-        if USE_FORI:
-            f = jax.jit(lambda v: lax.fori_loop(0, iters,
-                                                lambda i, c: one(c), v))
-            np.asarray(f(x)[0, :1])  # compile + warm
-            best = float("inf")
-            for _ in range(3):  # min-of-3: the device is shared/throttled
-                t0 = time.perf_counter()
-                np.asarray(f(x)[0, :1])
-                best = min(best, time.perf_counter() - t0)
-            return best / iters  # seconds per bundle of b transforms
-        # dispatch-timed fallback: K back-to-back async dispatches, then one
-        # tiny DATA FETCH of the last output (device queues are FIFO, so the
-        # fetch bounds all K executions).  block_until_ready alone does NOT
-        # block on the axon tunnel backend; only a fetch synchronizes.
-        f = jax.jit(one)
-        np.asarray(f(x)[0, :1])
-        k = max(2, min(8, iters))
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            o = None
-            for _ in range(k):
-                o = f(x)
-            np.asarray(o[0, :1])
-            best = min(best, time.perf_counter() - t0)
-        return best / k
+        return one
 
-    # --- NTT bundle sweep --------------------------------------------------
-    baseline_ms = {16384: 0.00407564, 32768: 0.00804859, 65536: 0.0226647}
-    baseline_b1_ms = {16384: 0.0486284, 32768: 0.051598, 65536: 0.064822}
-    bundles = [1, 2, 4, 8, 16, 32, 64, 128, 256, 512]
-
-    for n in (16384, 32768, 65536):
-        # correctness gate (bundle element #5 vs DFT oracle, random indices)
+    def oracle_gate(n, impl):
+        """DFT-oracle-check the exact implementation that will be timed."""
         xs = rng.integers(0, 1 << 31, size=(8, n // 2), dtype=np.uint32)
-        out = jax.jit(lambda v: ntt.ntt_fwd_batched(v, n, chunk=CHUNK))(
-            jnp.asarray(xs))
-        got = modp.u64_from_pair(np.asarray(out[0][5]), np.asarray(out[1][5]))
+        if impl == "fused" or impl == "fused_std":
+            got_pair = nk.ntt_fwd(jnp.asarray(xs), n, layout="mat")
+            got_pair = nk.mat_to_std(got_pair, n)
+        else:
+            got_pair = jax.jit(
+                lambda v: ntt.ntt_fwd_batched(v, n, chunk=8))(jnp.asarray(xs))
+        got = modp.u64_from_pair(np.asarray(got_pair[0][5]),
+                                 np.asarray(got_pair[1][5]))
         om = pow(hm.NTT_GEN, 65536 // n, hm.P)
         pw_t = ntt._pow_table(om, n).astype(object)
         j = np.arange(n // 2, dtype=np.int64)
         xo = xs[5].astype(object)
         for k in rng.integers(0, n, size=8):
             want = int((xo * pw_t[(j * int(k)) % n]).sum()) % hm.P
-            assert int(got[int(k)]) == want, f"NTT {n} mismatch at k={k}"
-        log(f"ntt {n}: correctness ok")
+            assert int(got[int(k)]) == want, \
+                f"NTT {n} ({impl}) oracle mismatch at k={k} -- bench aborted"
+        log(f"ntt {n} ({impl}): oracle ok")
 
-        per_bundle = {}
-        for b in bundles:
-            iters = max(4, min(256, 2048 // b))
-            dt = time_ntt(n, b, iters)
-            per_bundle[b] = dt / b * 1e3  # ms per transform
-        results[f"ntt{n // 1024}k"] = per_bundle
-        # also record the alternate XLA matmul path at the headline bundle
-        # (CUHE_NTT_I8 toggles int8-banded vs bf16-limb stage matmuls)
-        try:
-            cur = os.environ.get("CUHE_NTT_I8", "1")
-            alt = "0" if cur == "1" else "1"
-            os.environ["CUHE_NTT_I8"] = alt
-            dt_alt = time_ntt(n, 512, max(4, min(256, 2048 // 512)))
-            name = "bf16" if alt == "0" else "i8"
-            results[f"ntt{n // 1024}k_alt_{name}"] = {512: dt_alt / 512 * 1e3}
-            log(f"ntt {n} (alt {name}): b512="
-                f"{dt_alt / 512 * 1e6:.2f}us")
-        finally:
-            os.environ["CUHE_NTT_I8"] = cur
-        log(f"ntt {n} (xla): " + "  ".join(f"b{b}={per_bundle[b]*1e3:.2f}us"
-                                           for b in bundles))
-        if jax.default_backend() == "tpu":
-            try:
-                pall = {}
-                for b in (1, 8, 64, 512):
-                    iters = max(4, min(128, 1024 // b))
-                    pall[b] = time_ntt(n, b, iters, impl="pallas") / b * 1e3
-                results[f"ntt{n // 1024}k_pallas"] = pall
-                log(f"ntt {n} (pallas): "
-                    + "  ".join(f"b{b}={pall[b]*1e3:.2f}us" for b in pall))
-            except Exception as e:
-                log(f"pallas ntt {n} skipped: {e}")
+    def time_ntt(n, b, iters, impl):
+        x = jnp.asarray(rng.integers(0, 1 << 31, size=(b, n // 2),
+                                     dtype=np.uint32))
+        one = make_one(n, impl)
+        if USE_FORI:
+            f = jax.jit(lambda v: lax.fori_loop(0, iters,
+                                                lambda i, c: one(c), v))
+            np.asarray(f(x)[0, :1])  # compile + warm
+            times = []
+            for _ in range(3):  # the device is shared/throttled
+                t0 = time.perf_counter()
+                np.asarray(f(x)[0, :1])
+                times.append(time.perf_counter() - t0)
+            return min(times) / iters, max(times) / iters
+        # dispatch-timed fallback: K back-to-back async dispatches + one tiny
+        # data fetch (block_until_ready does not block on the axon backend)
+        f = jax.jit(one)
+        np.asarray(f(x)[0, :1])
+        k = max(2, min(8, iters))
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            o = None
+            for _ in range(k):
+                o = f(x)
+            np.asarray(o[0, :1])
+            times.append(time.perf_counter() - t0)
+        return min(times) / k, max(times) / k
+
+    # --- NTT bundle sweep --------------------------------------------------
+    baseline_ms = {16384: 0.00407564, 32768: 0.00804859, 65536: 0.0226647}
+    baseline_b1_ms = {16384: 0.0486284, 32768: 0.051598, 65536: 0.064822}
+    bundles = [1, 2, 4, 8, 16, 32, 64, 128, 256, 512]
+    headline_impl = "fused" if on_tpu else "xla"
+
+    for n in (16384, 32768, 65536):
+        impls = ["fused", "xla"] if on_tpu else ["xla"]
+        for impl in impls:
+            oracle_gate(n, impl)
+            per_bundle = {}
+            per_bundle_max = {}
+            bl = bundles if impl == headline_impl else [1, 64, 512]
+            for b in bl:
+                iters = max(4, min(256, 2048 // b))
+                lo_t, hi_t = time_ntt(n, b, iters, impl)
+                per_bundle[b] = lo_t / b * 1e3       # ms per transform (min)
+                per_bundle_max[b] = hi_t / b * 1e3
+            key = f"ntt{n // 1024}k" + ("" if impl == headline_impl
+                                        else f"_{impl}")
+            results[key] = per_bundle
+            results[key + "_maxrep"] = per_bundle_max
+            log(f"ntt {n} ({impl}): "
+                + "  ".join(f"b{b}={per_bundle[b]*1e3:.2f}us"
+                            for b in per_bundle))
+
+    # headline re-measure at end of run (throttle-drift detection, item 9)
+    n0 = 16384
+    lo_t, hi_t = time_ntt(n0, 512, 4, headline_impl)
+    results["ntt16k_remeasure"] = {512: lo_t / 512 * 1e3}
+    log(f"ntt 16k headline re-measure: {lo_t/512*1e6:.2f} us")
 
     # --- fused gate pipeline (AND + relin + modswitch) ---------------------
     gate = None
@@ -197,7 +210,6 @@ def main():
             # [b, pnum, n] uint32 input to keep the chain going
             o = jnp.concatenate([o, o[:, :1]], axis=1)      # pnum planes
             return jnp.concatenate([o, o], axis=-1)         # length n
-
         K = 16
         if USE_FORI:
             g = jax.jit(lambda a: lax.fori_loop(0, K, body, a))
@@ -222,6 +234,7 @@ def main():
     detail = {
         "device": str(dev),
         "backend": jax.default_backend(),
+        "headline_impl": headline_impl,
         "ntt_amortized_ms_per_transform": results,
         "baseline_ms_bundle512": baseline_ms,
         "baseline_ms_bundle1": baseline_b1_ms,
@@ -232,11 +245,6 @@ def main():
         json.dump(detail, f, indent=2)
 
     ours = results["ntt16k"][512]
-    if "ntt16k_pallas" in results:
-        ours = min(ours, results["ntt16k_pallas"][512])
-    for k in ("ntt16k_alt_bf16", "ntt16k_alt_i8"):
-        if k in results:
-            ours = min(ours, results[k][512])
     base = baseline_ms[16384]
     print(json.dumps({
         "metric": "ntt16k_amortized_latency_bundle512",

@@ -265,19 +265,19 @@ def u32_to_limbs4(x):
 def u32_to_digits5(x):
     """uint32 array -> 5 signed int8 digits d_i with sum d_i 256^i == x.
 
-    Bytes are rebalanced into [-128, 127] by a ripple of carries; the final
-    carry becomes digit 4 (value 0/1).  Exact for all uint32 inputs; feeds
-    the int8-MXU NTT matmul path (ntt.py).
+    Ripple-free offset extraction (see pair_to_digits8): x' = x + 0x80808080
+    with carry-out c gives digits (byte_i(x') XOR 0x80) for i < 4 and
+    d_4 = c, since sum_{i<4} (b'_i - 128) 256^i + c 2^32 = x exactly.
+    Feeds the int8-MXU NTT matmul path.
     """
     x = u32(x)
-    ds = []
-    c = jnp.zeros_like(x, dtype=jnp.int32)
-    for s in (0, 8, 16, 24):
-        b = ((x >> jnp.uint32(s)) & jnp.uint32(0xFF)).astype(jnp.int32) + c
-        ge = (b >= 128).astype(jnp.int32)
-        ds.append((b - (ge << 8)).astype(jnp.int8))
-        c = ge
-    ds.append(c.astype(jnp.int8))
+    off = jnp.uint32(0x80808080)
+    xp = x + off
+    c = (xp < x).astype(jnp.int8)
+    x80 = jnp.uint32(0x80)
+    ds = [(((xp >> jnp.uint32(s)) & jnp.uint32(0xFF)) ^ x80).astype(jnp.int8)
+          for s in (0, 8, 16, 24)]
+    ds.append(c)
     return ds
 
 
@@ -297,6 +297,13 @@ def pair_to_digits8(pair):
 
     One fewer digit than pair_to_digits9 = 1/9 fewer MXU flops in every
     NTT stage matmul over pair inputs.
+
+    Extraction is ripple-free (full ILP, no serial carry chain): adding the
+    offset 0x8080...80 (= NegCap) to w's two's-complement pair makes every
+    byte b'_i satisfy d_i = b'_i - 128, because sum_i (b'_i - 128) 256^i
+    = (w + OFF mod 2^64) - OFF = w exactly — positives (<= PosCap) never
+    wrap while negatives always do.  b - 128 as an int8 bit pattern is
+    b XOR 0x80.
     """
     lo, hi = pair
     cap = jnp.uint32(0x7F7F7F7F)
@@ -305,18 +312,15 @@ def pair_to_digits8(pair):
     d, _ = sub64(pair, (jnp.full_like(lo, P_LO), jnp.full_like(hi, P_HI)))
     wlo = jnp.where(big, d[0], lo)
     whi = jnp.where(big, d[1], hi)
+    # w' = w + 0x8080808080808080 (mod 2^64)
+    (wlo, whi), _ = add64((wlo, whi), (jnp.full_like(lo, 0x80808080),
+                                       jnp.full_like(hi, 0x80808080)))
+    x80 = jnp.uint32(0x80)
     ds = []
-    c = jnp.zeros_like(lo, dtype=jnp.int32)
     for w in (wlo, whi):
         for s in (0, 8, 16, 24):
-            b = ((w >> jnp.uint32(s)) & jnp.uint32(0xFF)).astype(jnp.int32) + c
-            if s == 24 and w is whi:
-                # top digit: wrap mod 256 into [-128, 127] (exact, see above)
-                ds.append((((b + 128) & 255) - 128).astype(jnp.int8))
-            else:
-                ge = (b >= 128).astype(jnp.int32)
-                ds.append((b - (ge << 8)).astype(jnp.int8))
-                c = ge
+            b = (w >> jnp.uint32(s)) & jnp.uint32(0xFF)
+            ds.append((b ^ x80).astype(jnp.int8))
     return ds
 
 
@@ -374,6 +378,66 @@ def combine_limb_sums_signed(ts: list, bound_log2: int = 25):
     corr_pair = (jnp.full_like(r[0], jnp.uint32(corr & MASK32)),
                  jnp.full_like(r[1], jnp.uint32(corr >> 32)))
     return sub_modp(r, corr_pair)
+
+
+def canonicalize(pair):
+    """Reduce a lazy value < 2^64 to canonical [0, P) (one cond-subtract)."""
+    return _cond_sub_p(pair)
+
+
+def combine_limb_sums_lazy(ts: list, bound_log2: int = 25):
+    """sum_t T_t * 2^(8t) mod P for signed int32 planes T_t, |T_t| < 2^bound.
+
+    Returns a LAZY pair (< 2^64, congruent mod P) — feed to mul_modp (which
+    accepts any u64 input) or canonicalize().  Cheaper than
+    combine_limb_sums_signed: byte positions pack into <= 4 groups of 52-bit
+    pairs, then one algebraic fold
+        G0 + G1 2^32 + G2 2^64 + G3 2^96  ==  G0 - G2 - G3 + (G1 + G2) 2^32
+    (using 2^64 == 2^32 - 1, 2^96 == -1) replaces the 6-word ripple +
+    3 reduce128 passes of combine_limb_sums.  Requires bound_log2 <= 27
+    and len(ts) <= 16.
+    """
+    n = len(ts)
+    assert n <= 16 and bound_log2 <= 27
+    c = jnp.int32(1 << bound_log2)
+    us = [(t + c).astype(jnp.uint32) for t in ts]  # U_t < 2^(bound+1)
+    zero = jnp.zeros_like(us[0])
+    groups = []
+    for g in range((n + 3) // 4):
+        acc = (us[4 * g], zero)
+        for j in (1, 2, 3):
+            i = 4 * g + j
+            if i < n:
+                u = us[i]
+                sh = jnp.uint32(8 * j)
+                acc, _ = add64(acc, (u << sh, u >> jnp.uint32(32 - 8 * j)))
+        groups.append(acc)  # < 2^(bound+1+24) <= 2^52
+    while len(groups) < 4:
+        groups.append((zero, zero))
+    g0, g1, g2, g3 = groups
+    s, _ = add64(g1, g2)                      # < 2^53
+    u = s[0] + s[1]
+    cb = _carry(u, s[0])
+    # pos = G0 + u*2^32 + cb*(2^32 - 1); wrap corrections never double-carry
+    # because the wrapped remainder is < 2^53
+    corr = (jnp.full_like(zero, MASK32), zero)
+    pos, c1 = add64(g0, (zero, u))
+    pos2, _ = add64(pos, corr)
+    pos = _sel(c1.astype(bool), pos2, pos)
+    pos3, c2 = add64(pos, (cb * jnp.uint32(MASK32), zero))
+    pos4, _ = add64(pos3, corr)
+    pos = _sel(c2.astype(bool), pos4, pos3)
+    # neg = G2 + G3 + s_hi < 2^54
+    neg, _ = add64(g2, g3)
+    neg, _ = add64(neg, (s[1], zero))
+    # lazy result < 2^64 (sub_modp's borrow fold is exact mod P here)
+    d, bor = sub64(pos, neg)
+    d2, _ = sub64(d, corr)
+    corr_pair = sum(
+        (1 << (8 * t)) * (1 << bound_log2) for t in range(n)) % P
+    cp = (jnp.full_like(zero, corr_pair & MASK32),
+          jnp.full_like(zero, corr_pair >> 32))
+    return sub_modp(_sel(bor.astype(bool), d2, d), cp)
 
 
 def combine_limb_sums(ts: list):

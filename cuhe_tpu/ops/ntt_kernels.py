@@ -62,8 +62,21 @@ P = hm.P
 
 _FACTORS = {16384: (128, 128), 32768: (128, 256), 65536: (256, 256)}
 
-# transforms per grid step (VMEM-bounded)
-_DEFAULT_BT = {16384: 4, 32768: 2, 65536: 1}
+# transforms per grid step (VMEM-bounded; fwd measured fastest at 8 on 16k)
+_DEFAULT_BT = {16384: 8, 32768: 4, 65536: 2}
+_DEFAULT_BT_INV = {16384: 4, 32768: 2, 65536: 1}
+
+
+def _compiler_params():
+    """Raise Mosaic's scoped-VMEM limit (default 16M): the inverse kernel's
+    live set (two digit stacks + 15 band-dot planes) peaks above it."""
+    if pltpu is None:
+        return None
+    mb = int(_os.environ.get("CUHE_VMEM_LIMIT_MB", "64"))
+    try:
+        return pltpu.CompilerParams(vmem_limit_bytes=mb * 1024 * 1024)
+    except Exception:  # pragma: no cover - older pallas versions
+        return None
 
 
 def _pow_table(omega: int, n: int) -> np.ndarray:
@@ -77,7 +90,8 @@ def _pow_table(omega: int, n: int) -> np.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def tables(n: int):
-    """Twiddle tables for the transpose-free four-step, digit-stacked.
+    """Twiddle tables for the transpose-free four-step, digit-stacked for
+    flop-minimal band dots (see _dot_left/_dot_right).
 
     Returns a dict of numpy arrays (int8 digit stacks / uint32 pairs);
     passed to kernels as arguments per the big-tables-as-args policy.
@@ -92,11 +106,11 @@ def tables(n: int):
     j1 = np.arange(n1, dtype=np.int64)
     j2 = np.arange(n2, dtype=np.int64)
 
-    def row_stack(d8):  # [8, m, k] -> [8*m, k]
-        return np.concatenate(list(d8), axis=0)
-
-    def col_stack(d8):  # [8, k, m] -> [k, 8*m]
+    def cols(d8):  # left-dot lhs: digit l at columns l*k, ascending
         return np.concatenate(list(d8), axis=1)
+
+    def rows_rev(d8):  # right-dot rhs: digit l at rows (7-l)*k (descending)
+        return np.concatenate(list(d8)[::-1], axis=0)
 
     def pair(w):
         return ((w & np.uint64(0xFFFFFFFF)).astype(np.uint32),
@@ -113,58 +127,69 @@ def tables(n: int):
     ninv = hm.modinv(n, P)
     return {
         "n1": n1, "n2": n2,
-        "w1": row_stack(modp.balanced_digits8_np(w1)),      # [8*n1, n1h] i8
-        "tw": pair(tw),                                     # [n1, n2] u32 x2
-        "w2": col_stack(modp.balanced_digits8_np(w2)),      # [n2, 8*n2] i8
-        "w2i": col_stack(modp.balanced_digits8_np(w2i)),    # [n2, 8*n2] i8
-        "twi": pair(twi),                                   # [n1, n2] u32 x2
-        "w1i": row_stack(modp.balanced_digits8_np(w1i)),    # [8*n1, n1] i8
+        "w1": cols(modp.balanced_digits8_np(w1)),       # [n1, 8*n1h] i8
+        "tw": pair(tw),                                 # [n1, n2] u32 x2
+        "w2": rows_rev(modp.balanced_digits8_np(w2)),   # [8*n2, n2] i8
+        "w2i": rows_rev(modp.balanced_digits8_np(w2i)),  # [8*n2, n2] i8
+        "twi": pair(twi),                               # [n1, n2] u32 x2
+        "w1i": cols(modp.balanced_digits8_np(w1i)),     # [n1, 8*n1] i8
         "ninv": (ninv & 0xFFFFFFFF, ninv >> 32),
     }
 
 
-def _dot_left(wstack, x_digits, m: int, n_free: int):
-    """sum_k W[m, k] X[k, ...] per digit pair, as `la` stacked left dots.
+def _band_bound(la: int, k: int) -> int:
+    """|T_t| <= min(la,8)*k*2^14; return the bound exponent for the combine."""
+    v = min(la, 8) * k * (1 << 14)
+    b = v.bit_length()  # |T_t| <= 2^(b-1) < 2^b; need 2^bound > |T_t|
+    return min(max(b, 15), 27)
 
-    wstack: int8 [8*m, k] (digit l in row block l).
-    x_digits: list of int8 [..., k, n_free]-shaped arrays where the
-    contraction axis is at position -2 (leading batch allowed).
-    Returns the canonical mod-P pair with shape [m, ...batch..., n_free]
-    for batched inputs [bt, k, n_free] -> [m, bt, n_free].
+
+def _dot_left(wcols, x_digits, m: int, k: int):
+    """sum over digit bands of W[m, k] @ X[k, ...]: one flop-minimal dot
+    per byte position t (no slice-adds, no [la*8] intermediates).
+
+    wcols: int8 [m, 8*k], digit l at columns l*k (ascending).
+    x_digits: list (ascending digit a) of int8 arrays with the contraction
+    axis at position -2 (e.g. [bt, k, n_free]).
+    Returns a LAZY pair [m, ...batch, n_free] (see combine_limb_sums_lazy).
     """
     la = len(x_digits)
-    ts = [None] * (la + 7)
-    for a, xa in enumerate(x_digits):
-        nd = xa.ndim
-        s = jax.lax.dot_general(
-            wstack, xa, (((1,), (nd - 2,)), ((), ())),
-            preferred_element_type=jnp.int32)  # [8*m, ...batch, n_free]
-        for l in range(8):
-            blk = s[l * m:(l + 1) * m]
-            t = a + l
-            ts[t] = blk if ts[t] is None else ts[t] + blk
-    return modp.combine_limb_sums_signed(ts, bound_log2=26)
+    nd = x_digits[0].ndim
+    xrev = jnp.concatenate(x_digits[::-1], axis=nd - 2)  # digit a at (la-1-a)
+    ts = []
+    for t in range(la + 7):
+        l0 = max(0, t - (la - 1))
+        l1 = min(7, t)
+        wk = wcols[:, l0 * k:(l1 + 1) * k]
+        xs = jax.lax.slice_in_dim(xrev, (la - 1 - (t - l0)) * k,
+                                  (la - (t - l1)) * k, axis=nd - 2)
+        ts.append(jax.lax.dot_general(
+            wk, xs, (((1,), (nd - 2,)), ((), ())),
+            preferred_element_type=jnp.int32))  # [m, ...batch, n_free]
+    return modp.combine_limb_sums_lazy(ts, bound_log2=_band_bound(la, k))
 
 
-def _dot_right(x_digits, wstack, n_out: int):
-    """sum_k X[..., k] W[k, n_out] per digit pair, as `la` right dots.
+def _dot_right(x_digits, wrows, k: int, n_out: int):
+    """sum over digit bands of X[..., k] @ W[k, n_out], one dot per byte
+    position t.
 
-    wstack: int8 [k, 8*n_out] (digit l in column block l).
-    x_digits: list of int8 [..., k] + trailing? arrays with contraction on
-    the LAST axis.  Returns pair [..., n_out].
+    wrows: int8 [8*k, n_out], digit l at rows (7-l)*k (descending).
+    x_digits: list (ascending digit a) of int8 arrays, contraction on the
+    LAST axis.  Returns a LAZY pair [..., n_out].
     """
     la = len(x_digits)
-    ts = [None] * (la + 7)
-    for a, xa in enumerate(x_digits):
-        nd = xa.ndim
-        s = jax.lax.dot_general(
-            xa, wstack, (((nd - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)  # [..., 8*n_out]
-        for l in range(8):
-            blk = s[..., l * n_out:(l + 1) * n_out]
-            t = a + l
-            ts[t] = blk if ts[t] is None else ts[t] + blk
-    return modp.combine_limb_sums_signed(ts, bound_log2=26)
+    nd = x_digits[0].ndim
+    xcat = jnp.concatenate(x_digits, axis=-1)            # digit a at a*k
+    ts = []
+    for t in range(la + 7):
+        a0 = max(0, t - 7)
+        a1 = min(la - 1, t)
+        xs = jax.lax.slice_in_dim(xcat, a0 * k, (a1 + 1) * k, axis=nd - 1)
+        wk = wrows[(7 - (t - a0)) * k:(8 - (t - a1)) * k]
+        ts.append(jax.lax.dot_general(
+            xs, wk, (((nd - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32))           # [..., n_out]
+    return modp.combine_limb_sums_lazy(ts, bound_log2=_band_bound(la, k))
 
 
 # ---------------------------------------------------------------------------
@@ -173,18 +198,27 @@ def _dot_right(x_digits, wstack, n_out: int):
 
 def _make_fwd_kernel(bt: int, n1: int, n2: int):
     n1h = n1 // 2
+    # Optional software pipelining: process `split` independent sub-batches
+    # so Mosaic's scheduler can overlap one chain's MXU band dots with the
+    # other's VPU recombination (the phases otherwise strictly alternate).
+    split = int(_os.environ.get("CUHE_FWD_SPLIT", "1"))
+    if split < 1 or bt % split:
+        split = 1
+    bth = bt // split
 
     def kernel(x_ref, w1_ref, twlo_ref, twhi_ref, w2_ref, olo_ref, ohi_ref):
-        x = x_ref[...]                                    # [bt, n1h, n2] u32
-        xd = modp.u32_to_digits5(x)
-        # stage 1: left dot contracting j1 (axis -2 of x) -> [n1, bt, n2]
-        b = _dot_left(w1_ref[...], xd, n1, n2)
         tw = (twlo_ref[...][:, None, :], twhi_ref[...][:, None, :])
-        c = modp.mul_modp(b, tw)                          # [n1, bt, n2]
-        cd = modp.pair_to_digits8(c)
-        d = _dot_right(cd, w2_ref[...], n2)               # [n1, bt, n2]
-        olo_ref[...] = jnp.swapaxes(d[0], 0, 1)           # [bt, n1, n2]
-        ohi_ref[...] = jnp.swapaxes(d[1], 0, 1)
+        for h in range(split):
+            x = x_ref[h * bth:(h + 1) * bth]              # [bth, n1h, n2] u32
+            xd = modp.u32_to_digits5(x)
+            # stage 1: left band dots contracting j1 (axis -2) -> [n1, ...]
+            b = _dot_left(w1_ref[...], xd, n1, n1h)       # lazy pair
+            c = modp.mul_modp(b, tw)                      # canonical
+            cd = modp.pair_to_digits8(c)
+            d = _dot_right(cd, w2_ref[...], n2, n2)       # lazy [n1, bth, n2]
+            d = modp.canonicalize(d)
+            olo_ref[h * bth:(h + 1) * bth] = jnp.swapaxes(d[0], 0, 1)
+            ohi_ref[h * bth:(h + 1) * bth] = jnp.swapaxes(d[1], 0, 1)
 
     return kernel
 
@@ -209,14 +243,16 @@ def _fwd_call(n: int, bt: int, interpret: bool):
             grid=(bsz // bt,),
             in_specs=[
                 pl.BlockSpec((bt, n1h, n2), lambda i: (i, 0, 0)),
-                pl.BlockSpec((8 * n1, n1h), _const2),
+                pl.BlockSpec((n1, 8 * n1h), _const2),
                 pl.BlockSpec((n1, n2), _const2),
                 pl.BlockSpec((n1, n2), _const2),
-                pl.BlockSpec((n2, 8 * n2), _const2),
+                pl.BlockSpec((8 * n2, n2), _const2),
             ],
             out_specs=(pl.BlockSpec((bt, n1, n2), lambda i: (i, 0, 0)),) * 2,
             out_shape=(jax.ShapeDtypeStruct((bsz, n1, n2), jnp.uint32),) * 2,
             interpret=interpret,
+            **({} if interpret or _compiler_params() is None
+               else {"compiler_params": _compiler_params()}),
         )(xm, w1, twlo, twhi, w2)
         return out
 
@@ -258,11 +294,11 @@ def _make_inv_kernel(bt: int, n1: int, n2: int, ninv):
                w2i_ref, twlo_ref, twhi_ref, w1i_ref, o_ref):
         x = (xlo_ref[...], xhi_ref[...])                  # [bt, n1, n2] mat
         xd = modp.pair_to_digits8(x)
-        a = _dot_right(xd, w2i_ref[...], n2)              # [bt, n1, n2]
+        a = _dot_right(xd, w2i_ref[...], n2, n2)          # lazy [bt, n1, n2]
         tw = (twlo_ref[...][None, :, :], twhi_ref[...][None, :, :])
-        b = modp.mul_modp(a, tw)
+        b = modp.mul_modp(a, tw)                          # canonical
         bd = modp.pair_to_digits8(b)
-        y = _dot_left(w1i_ref[...], bd, n1, n2)           # [n1(t1), bt, n2]
+        y = _dot_left(w1i_ref[...], bd, n1, n1)           # lazy [t1, bt, n2]
         nv = (jnp.full_like(y[0], jnp.uint32(ninv[0])),
               jnp.full_like(y[0], jnp.uint32(ninv[1])))
         y = modp.mul_modp(y, nv)
@@ -295,14 +331,16 @@ def _inv_call(n: int, bt: int, interpret: bool):
                 pl.BlockSpec((bt, n1, n2), lambda i: (i, 0, 0)),
                 pl.BlockSpec((bt, n1, n2), lambda i: (i, 0, 0)),
                 scal, scal, scal,
-                pl.BlockSpec((n2, 8 * n2), _const2),
+                pl.BlockSpec((8 * n2, n2), _const2),
                 pl.BlockSpec((n1, n2), _const2),
                 pl.BlockSpec((n1, n2), _const2),
-                pl.BlockSpec((8 * n1, n1), _const2),
+                pl.BlockSpec((n1, 8 * n1), _const2),
             ],
             out_specs=pl.BlockSpec((bt, n1, n2), lambda i: (i, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((bsz, n1, n2), jnp.uint32),
             interpret=interpret,
+            **({} if interpret or _compiler_params() is None
+               else {"compiler_params": _compiler_params()}),
         )(xlo, xhi, p, mu_lo, mu_hi, w2i, twlo, twhi, w1i)
         return out
 
@@ -325,7 +363,7 @@ def intt_modcrt(x_pair, n: int, p, mu, *, layout: str = "mat",
     if layout == "std":
         lo = jnp.swapaxes(lo.reshape(b, n2, n1), -1, -2)
         hi = jnp.swapaxes(hi.reshape(b, n2, n1), -1, -2)
-    bt = bt or _DEFAULT_BT[n]
+    bt = bt or _DEFAULT_BT_INV[n]
     pad = (-b) % bt
     pv = p.reshape(-1, 1, 1)
     ml = mu[0].reshape(-1, 1, 1)

@@ -46,7 +46,7 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def batched_and_relin_modswitch(ctx: Context, lvl: int):
+def batched_and_relin_modswitch(ctx: Context, lvl: int, mesh: Mesh = None):
     """Build the flagship fused step: (a, b) -> modswitch(relin(a AND b)).
 
     Operates on batched NTT-domain pairs [batch, pnum, n]; returns the
@@ -54,6 +54,12 @@ def batched_and_relin_modswitch(ctx: Context, lvl: int):
     path of every homomorphic circuit (SURVEY.md section 3.2-3.4) expressed
     as one jittable function so XLA can fuse and schedule it globally --
     the reference needed ~10 kernel launches + stream sync per gate.
+
+    With `mesh` given (and pnum divisible by its crt axis), the mid-step
+    ICRT runs through the explicit-collective shard_map path
+    (icrt_to_raw_sharded): per-shard multiword partial sums + ONE psum of
+    16-bit half-planes + a k*M correction, instead of letting GSPMD gather
+    every shard's residue planes for the cross-prime scan.
     """
     pr = ctx.params
     pn = pr.num_crt_prime_lvl(lvl)
@@ -72,6 +78,9 @@ def batched_and_relin_modswitch(ctx: Context, lvl: int):
     from ..ops import crt as crt_ops
 
     layout = ctx.ntt_layout
+    icrt_sharded = None
+    if mesh is not None and pn % mesh.shape["crt"] == 0:
+        icrt_sharded = icrt_to_raw_sharded(mesh)
 
     def step(a_lo, a_hi, b_lo, b_hi, ek_lo, ek_hi,
              u_lo, u_hi, m_lo, m_hi, m_crt_full):
@@ -88,8 +97,13 @@ def batched_and_relin_modswitch(ctx: Context, lvl: int):
             full, mod_len=mod_len, n=n, u_ntt=u_ntt, m_ntt=m_ntt,
             m_crt=m_crt, primes=pj, mus=muj, layout=layout)
         # c2r (ICRT) to extract relinearization digits
-        raw = crt_ops.icrt_to_raw(red, pj, muj, jnp.asarray(bi),
-                                  jnp.asarray(mi_words), jnp.asarray(m_words))
+        if icrt_sharded is not None:
+            raw = icrt_sharded(red, pj, muj[0], muj[1], jnp.asarray(bi),
+                               jnp.asarray(mi_words), jnp.asarray(m_words))
+        else:
+            raw = crt_ops.icrt_to_raw(red, pj, muj, jnp.asarray(bi),
+                                      jnp.asarray(mi_words),
+                                      jnp.asarray(m_words))
         # relinearize (batch-generic): digit NTTs + eval-key contraction
         r_lo, r_hi = relin_ops.relinearize(raw, ek_lo, ek_hi, w=w, knum=knum,
                                            pnum=pn, n=n, layout=layout)
@@ -207,7 +221,7 @@ def jit_sharded_step(ctx: Context, lvl: int, mesh: Mesh):
     planes) are replicated -- or shard their prime axis over "crt" for the
     eval keys, which are the bulk of the memory.
     """
-    step = batched_and_relin_modswitch(ctx, lvl)
+    step = batched_and_relin_modswitch(ctx, lvl, mesh=mesh)
     ct_shard = ciphertext_sharding(mesh)
     ek_shard = NamedSharding(mesh, P(None, "crt", None))
     plane_shard = NamedSharding(mesh, P("crt", None))

@@ -159,10 +159,13 @@ def test_sharded_step_matches_single_device(small_ctx):
     tbl = pmesh.step_table_args(small_ctx)
     want = np.asarray(jax.jit(step)(*map(jnp.asarray, args), *tbl))
 
-    mesh = pmesh.make_mesh(4, 2)
-    fstep = pmesh.jit_sharded_step(small_ctx, 0, mesh)
-    sh = pmesh.ciphertext_sharding(mesh)
-    dev_args = tuple(jax.device_put(a, sh) for a in args) + tbl
-    got = fstep(*dev_args)
-    assert len(got.sharding.device_set) == 8
-    np.testing.assert_array_equal(np.asarray(got), want)
+    # (4,2) and (2,4): the latter puts the full crt-axis width through the
+    # explicit-psum sharded ICRT inside the step (VERDICT r1 item 7)
+    for nb, nc in ((4, 2), (2, 4)):
+        mesh = pmesh.make_mesh(nb, nc)
+        fstep = pmesh.jit_sharded_step(small_ctx, 0, mesh)
+        sh = pmesh.ciphertext_sharding(mesh)
+        dev_args = tuple(jax.device_put(a, sh) for a in args) + tbl
+        got = fstep(*dev_args)
+        assert len(got.sharding.device_set) == 8
+        np.testing.assert_array_equal(np.asarray(got), want)
