@@ -303,12 +303,6 @@ def intt_modcrt(x_pair, n: int, p, mu, chunk: int = 8):
             jnp.broadcast_to(mu[1], shape[:-1] + (1,)).reshape(-1, 1))
     flat = (lo.reshape(-1, n), hi.reshape(-1, n))
     b = flat[0].shape[0]
-    if _use_pallas():
-        from . import pallas_kernels as pk
-
-        out = pk.intt_modcrt_pallas(flat, n, p_b[:, 0],
-                                    (mu_b[0][:, 0], mu_b[1][:, 0]))
-        return out.reshape(shape)
     if b <= chunk:
         out = finish(intt_raw(flat, n), p_b, mu_b)
         return out.reshape(shape)
@@ -363,26 +357,14 @@ def ntt_from_digit(raw: jnp.ndarray, w: int, wid: int, n: int):
     return ntt_fwd_u32(digit, n)
 
 
-def _use_pallas() -> bool:
-    import os
-
-    return (os.environ.get("CUHE_PALLAS_NTT", "0") == "1"
-            and jax.default_backend() == "tpu")
-
-
 def ntt_fwd_batched(x: jnp.ndarray, n: int, chunk: int = 8):
     """Memory-bounded batched forward NTT over the leading axis via lax.map.
 
-    With CUHE_PALLAS_NTT=1 on TPU, routes to the fused Pallas kernel
-    (ops/pallas_kernels.ntt_fwd_pallas) which keeps both stages in VMEM.
+    This is the XLA reference path; the fused TPU kernels live in
+    ops/ntt_kernels.py (v2) and are dispatched by ntt_kernels.fwd_linear.
     """
     shape = x.shape
     flat = x.reshape((-1, shape[-1]))  # chunk over TOTAL transforms
-    if _use_pallas():
-        from . import pallas_kernels as pk
-
-        lo, hi = pk.ntt_fwd_pallas(flat, n)
-        return (lo.reshape(shape[:-1] + (n,)), hi.reshape(shape[:-1] + (n,)))
     b = flat.shape[0]
     if b <= chunk:
         lo, hi = ntt_fwd_u32(flat, n)

@@ -106,11 +106,8 @@ def tables(n: int):
     j1 = np.arange(n1, dtype=np.int64)
     j2 = np.arange(n2, dtype=np.int64)
 
-    def cols(d8):  # left-dot lhs: digit l at columns l*k, ascending
+    def cols(d8):  # digit l at columns l*k, ascending
         return np.concatenate(list(d8), axis=1)
-
-    def rows_rev(d8):  # right-dot rhs: digit l at rows (7-l)*k (descending)
-        return np.concatenate(list(d8)[::-1], axis=0)
 
     def pair(w):
         return ((w & np.uint64(0xFFFFFFFF)).astype(np.uint32),
@@ -129,8 +126,8 @@ def tables(n: int):
         "n1": n1, "n2": n2,
         "w1": cols(modp.balanced_digits8_np(w1)),       # [n1, 8*n1h] i8
         "tw": pair(tw),                                 # [n1, n2] u32 x2
-        "w2": rows_rev(modp.balanced_digits8_np(w2)),   # [8*n2, n2] i8
-        "w2i": rows_rev(modp.balanced_digits8_np(w2i)),  # [8*n2, n2] i8
+        "w2": cols(modp.balanced_digits8_np(w2)),       # [n2, 8*n2] i8
+        "w2i": cols(modp.balanced_digits8_np(w2i)),     # [n2, 8*n2] i8
         "twi": pair(twi),                               # [n1, n2] u32 x2
         "w1i": cols(modp.balanced_digits8_np(w1i)),     # [n1, 8*n1] i8
         "ninv": (ninv & 0xFFFFFFFF, ninv >> 32),
@@ -149,46 +146,61 @@ def _dot_left(wcols, x_digits, m: int, k: int):
     per byte position t (no slice-adds, no [la*8] intermediates).
 
     wcols: int8 [m, 8*k], digit l at columns l*k (ascending).
-    x_digits: list (ascending digit a) of int8 arrays with the contraction
-    axis at position -2 (e.g. [bt, k, n_free]).
-    Returns a LAZY pair [m, ...batch, n_free] (see combine_limb_sums_lazy).
+    x_digits: list (ascending digit a) of int8 arrays shaped
+    [bt, k, n_free] (or [k, n_free]) with the contraction axis at -2.
+    Returns a LAZY pair [m, bt, n_free] (see combine_limb_sums_lazy).
+
+    The digit stack is transposed once to put the contraction axis first,
+    so every band dot is a genuine [m, K] @ [K, bt*n_free] matmul with
+    wide N (a [K, n_free]-columns-per-batch lowering would run one MXU
+    column tile at a time and idle 3 of the 4 MXUs).
     """
     la = len(x_digits)
     nd = x_digits[0].ndim
     xrev = jnp.concatenate(x_digits[::-1], axis=nd - 2)  # digit a at (la-1-a)
+    if nd == 3:
+        bt, _, nf = xrev.shape
+        xrev = jnp.transpose(xrev, (1, 0, 2)).reshape(la * k, bt * nf)
+    else:
+        bt, nf = 1, xrev.shape[-1]
+        xrev = xrev.reshape(la * k, nf)
     ts = []
     for t in range(la + 7):
         l0 = max(0, t - (la - 1))
         l1 = min(7, t)
         wk = wcols[:, l0 * k:(l1 + 1) * k]
-        xs = jax.lax.slice_in_dim(xrev, (la - 1 - (t - l0)) * k,
-                                  (la - (t - l1)) * k, axis=nd - 2)
-        ts.append(jax.lax.dot_general(
-            wk, xs, (((1,), (nd - 2,)), ((), ())),
-            preferred_element_type=jnp.int32))  # [m, ...batch, n_free]
+        xs = xrev[(la - 1 - (t - l0)) * k:(la - (t - l1)) * k]
+        s = jax.lax.dot_general(wk, xs, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        ts.append(s.reshape(m, bt, nf) if nd == 3 else s)
     return modp.combine_limb_sums_lazy(ts, bound_log2=_band_bound(la, k))
 
 
-def _dot_right(x_digits, wrows, k: int, n_out: int):
-    """sum over digit bands of X[..., k] @ W[k, n_out], one dot per byte
-    position t.
+def _dot_right(x_digits, wcols, k: int, n_out: int):
+    """sum over digit products of X[..., k] @ W[k, n_out] mod P.
 
-    wrows: int8 [8*k, n_out], digit l at rows (7-l)*k (descending).
+    wcols: int8 [k, 8*n_out], digit l at columns l*n_out (ascending).
     x_digits: list (ascending digit a) of int8 arrays, contraction on the
     LAST axis.  Returns a LAZY pair [..., n_out].
+
+    Evaluated as `la` WIDE dots [.., k] @ [k, 8*n_out] (one per X digit,
+    against the column-stacked digit matrix) + int32 slice-adds into the
+    byte-position planes, NOT as per-band dots: an n_out-column band dot
+    is a single MXU column tile and leaves 3 of the 4 MXUs idle, while the
+    8*n_out-wide form runs them all; the slice-adds are ~2 orders of
+    magnitude cheaper than the recombination that follows.
     """
     la = len(x_digits)
     nd = x_digits[0].ndim
-    xcat = jnp.concatenate(x_digits, axis=-1)            # digit a at a*k
-    ts = []
-    for t in range(la + 7):
-        a0 = max(0, t - 7)
-        a1 = min(la - 1, t)
-        xs = jax.lax.slice_in_dim(xcat, a0 * k, (a1 + 1) * k, axis=nd - 1)
-        wk = wrows[(7 - (t - a0)) * k:(8 - (t - a1)) * k]
-        ts.append(jax.lax.dot_general(
-            xs, wk, (((nd - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32))           # [..., n_out]
+    ts = [None] * (la + 7)
+    for a, xa in enumerate(x_digits):
+        s = jax.lax.dot_general(
+            xa, wcols, (((nd - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)            # [..., 8*n_out]
+        for l in range(8):
+            t = a + l
+            blk = s[..., l * n_out:(l + 1) * n_out]
+            ts[t] = blk if ts[t] is None else ts[t] + blk
     return modp.combine_limb_sums_lazy(ts, bound_log2=_band_bound(la, k))
 
 
@@ -246,7 +258,7 @@ def _fwd_call(n: int, bt: int, interpret: bool):
                 pl.BlockSpec((n1, 8 * n1h), _const2),
                 pl.BlockSpec((n1, n2), _const2),
                 pl.BlockSpec((n1, n2), _const2),
-                pl.BlockSpec((8 * n2, n2), _const2),
+                pl.BlockSpec((n2, 8 * n2), _const2),
             ],
             out_specs=(pl.BlockSpec((bt, n1, n2), lambda i: (i, 0, 0)),) * 2,
             out_shape=(jax.ShapeDtypeStruct((bsz, n1, n2), jnp.uint32),) * 2,
@@ -331,7 +343,7 @@ def _inv_call(n: int, bt: int, interpret: bool):
                 pl.BlockSpec((bt, n1, n2), lambda i: (i, 0, 0)),
                 pl.BlockSpec((bt, n1, n2), lambda i: (i, 0, 0)),
                 scal, scal, scal,
-                pl.BlockSpec((8 * n2, n2), _const2),
+                pl.BlockSpec((n2, 8 * n2), _const2),
                 pl.BlockSpec((n1, n2), _const2),
                 pl.BlockSpec((n1, n2), _const2),
                 pl.BlockSpec((n1, 8 * n1), _const2),
