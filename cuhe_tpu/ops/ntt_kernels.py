@@ -64,7 +64,7 @@ _FACTORS = {16384: (128, 128), 32768: (128, 256), 65536: (256, 256)}
 
 # transforms per grid step (VMEM-bounded; fwd measured fastest at 8 on 16k)
 _DEFAULT_BT = {16384: 8, 32768: 4, 65536: 2}
-_DEFAULT_BT_INV = {16384: 4, 32768: 2, 65536: 1}
+_DEFAULT_BT_INV = {16384: 8, 32768: 4, 65536: 2}
 
 
 def _compiler_params():
@@ -142,28 +142,20 @@ def _band_bound(la: int, k: int) -> int:
 
 
 def _dot_left(wcols, x_digits, m: int, k: int):
-    """sum over digit bands of W[m, k] @ X[k, ...]: one flop-minimal dot
+    """sum over digit bands of W[m, k] @ X[k, cols]: one flop-minimal dot
     per byte position t (no slice-adds, no [la*8] intermediates).
 
     wcols: int8 [m, 8*k], digit l at columns l*k (ascending).
-    x_digits: list (ascending digit a) of int8 arrays shaped
-    [bt, k, n_free] (or [k, n_free]) with the contraction axis at -2.
-    Returns a LAZY pair [m, bt, n_free] (see combine_limb_sums_lazy).
-
-    The digit stack is transposed once to put the contraction axis first,
-    so every band dot is a genuine [m, K] @ [K, bt*n_free] matmul with
-    wide N (a [K, n_free]-columns-per-batch lowering would run one MXU
-    column tile at a time and idle 3 of the 4 MXUs).
+    x_digits: list (ascending digit a) of int8 arrays with the contraction
+    axis FIRST: [k, ...cols].  The reversed stack concatenates along axis
+    0 (contiguous, no transpose — callers arrange the k-first layout so
+    every band dot is a genuine [m, K] @ [K, cols] wide-N matmul).
+    Returns a LAZY pair [m, ...cols] (see combine_limb_sums_lazy).
     """
     la = len(x_digits)
-    nd = x_digits[0].ndim
-    xrev = jnp.concatenate(x_digits[::-1], axis=nd - 2)  # digit a at (la-1-a)
-    if nd == 3:
-        bt, _, nf = xrev.shape
-        xrev = jnp.transpose(xrev, (1, 0, 2)).reshape(la * k, bt * nf)
-    else:
-        bt, nf = 1, xrev.shape[-1]
-        xrev = xrev.reshape(la * k, nf)
+    tail = x_digits[0].shape[1:]
+    xrev = jnp.concatenate(x_digits[::-1], axis=0)  # digit a at (la-1-a)*k
+    xrev = xrev.reshape(la * k, -1)
     ts = []
     for t in range(la + 7):
         l0 = max(0, t - (la - 1))
@@ -172,7 +164,7 @@ def _dot_left(wcols, x_digits, m: int, k: int):
         xs = xrev[(la - 1 - (t - l0)) * k:(la - (t - l1)) * k]
         s = jax.lax.dot_general(wk, xs, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.int32)
-        ts.append(s.reshape(m, bt, nf) if nd == 3 else s)
+        ts.append(s.reshape((m,) + tail))
     return modp.combine_limb_sums_lazy(ts, bound_log2=_band_bound(la, k))
 
 
@@ -222,9 +214,12 @@ def _make_fwd_kernel(bt: int, n1: int, n2: int):
         tw = (twlo_ref[...][:, None, :], twhi_ref[...][:, None, :])
         for h in range(split):
             x = x_ref[h * bth:(h + 1) * bth]              # [bth, n1h, n2] u32
-            xd = modp.u32_to_digits5(x)
-            # stage 1: left band dots contracting j1 (axis -2) -> [n1, ...]
-            b = _dot_left(w1_ref[...], xd, n1, n1h)       # lazy pair
+            # m-first internal layout: one u32-plane transpose up front buys
+            # transpose-free (axis-0) digit stacking for the stage-1 dots
+            xt = jnp.swapaxes(x, 0, 1)                    # [n1h, bth, n2]
+            xd = modp.u32_to_digits5(xt)
+            # stage 1: left band dots contracting j1 (axis 0) -> [n1, ...]
+            b = _dot_left(w1_ref[...], xd, n1, n1h)       # lazy [n1, bth, n2]
             c = modp.mul_modp(b, tw)                      # canonical
             cd = modp.pair_to_digits8(c)
             d = _dot_right(cd, w2_ref[...], n2, n2)       # lazy [n1, bth, n2]
@@ -304,10 +299,13 @@ def ntt_fwd(x, n: int, *, layout: str = "mat", bt: int | None = None,
 def _make_inv_kernel(bt: int, n1: int, n2: int, ninv):
     def kernel(xlo_ref, xhi_ref, p_ref, mulo_ref, muhi_ref,
                w2i_ref, twlo_ref, twhi_ref, w1i_ref, o_ref):
-        x = (xlo_ref[...], xhi_ref[...])                  # [bt, n1, n2] mat
+        # m-first internal layout (see fwd kernel): two u32-plane transposes
+        # at load, then every digit concat is a contiguous axis-0 stack
+        x = (jnp.swapaxes(xlo_ref[...], 0, 1),
+             jnp.swapaxes(xhi_ref[...], 0, 1))            # [n1, bt, n2] mat
         xd = modp.pair_to_digits8(x)
-        a = _dot_right(xd, w2i_ref[...], n2, n2)          # lazy [bt, n1, n2]
-        tw = (twlo_ref[...][None, :, :], twhi_ref[...][None, :, :])
+        a = _dot_right(xd, w2i_ref[...], n2, n2)          # lazy [n1, bt, n2]
+        tw = (twlo_ref[...][:, None, :], twhi_ref[...][:, None, :])
         b = modp.mul_modp(a, tw)                          # canonical
         bd = modp.pair_to_digits8(b)
         y = _dot_left(w1i_ref[...], bd, n1, n1)           # lazy [t1, bt, n2]
