@@ -297,18 +297,43 @@ def ntt_fwd(x, n: int, *, layout: str = "mat", bt: int | None = None,
 # ---------------------------------------------------------------------------
 
 def _make_inv_kernel(bt: int, n1: int, n2: int, ninv):
+    # inverse stage-2 contraction style: "mfirst" transposes the input
+    # planes up front (digit stacks then concat free on axis 0);
+    # "midcontract" keeps batch-first and lets dot_general contract the
+    # middle axis of the digit stack (Mosaic stages the operand itself).
+    mode = _os.environ.get("CUHE_INV_MODE", "midcontract")
+
     def kernel(xlo_ref, xhi_ref, p_ref, mulo_ref, muhi_ref,
                w2i_ref, twlo_ref, twhi_ref, w1i_ref, o_ref):
-        # m-first internal layout (see fwd kernel): two u32-plane transposes
-        # at load, then every digit concat is a contiguous axis-0 stack
-        x = (jnp.swapaxes(xlo_ref[...], 0, 1),
-             jnp.swapaxes(xhi_ref[...], 0, 1))            # [n1, bt, n2] mat
-        xd = modp.pair_to_digits8(x)
-        a = _dot_right(xd, w2i_ref[...], n2, n2)          # lazy [n1, bt, n2]
-        tw = (twlo_ref[...][:, None, :], twhi_ref[...][:, None, :])
-        b = modp.mul_modp(a, tw)                          # canonical
-        bd = modp.pair_to_digits8(b)
-        y = _dot_left(w1i_ref[...], bd, n1, n1)           # lazy [t1, bt, n2]
+        if mode == "mfirst":
+            x = (jnp.swapaxes(xlo_ref[...], 0, 1),
+                 jnp.swapaxes(xhi_ref[...], 0, 1))        # [n1, bt, n2] mat
+            xd = modp.pair_to_digits8(x)
+            a = _dot_right(xd, w2i_ref[...], n2, n2)      # lazy [n1, bt, n2]
+            tw = (twlo_ref[...][:, None, :], twhi_ref[...][:, None, :])
+            b = modp.mul_modp(a, tw)                      # canonical
+            bd = modp.pair_to_digits8(b)
+            y = _dot_left(w1i_ref[...], bd, n1, n1)       # lazy [t1, bt, n2]
+        else:
+            x = (xlo_ref[...], xhi_ref[...])              # [bt, n1, n2] mat
+            xd = modp.pair_to_digits8(x)
+            a = _dot_right(xd, w2i_ref[...], n2, n2)      # lazy [bt, n1, n2]
+            tw = (twlo_ref[...][None, :, :], twhi_ref[...][None, :, :])
+            b = modp.mul_modp(a, tw)                      # canonical
+            bd = modp.pair_to_digits8(b)
+            # contract k1 = middle axis of the reversed digit stack
+            brev = jnp.concatenate(bd[::-1], axis=1)      # [bt, 8*n1, n2]
+            ts = []
+            for t in range(15):
+                l0 = max(0, t - 7)
+                l1 = min(7, t)
+                wk = w1i_ref[:, l0 * n1:(l1 + 1) * n1]
+                xs = jax.lax.slice_in_dim(brev, (7 - (t - l0)) * n1,
+                                          (8 - (t - l1)) * n1, axis=1)
+                ts.append(jax.lax.dot_general(
+                    wk, xs, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32))    # [t1, bt, n2]
+            y = modp.combine_limb_sums_lazy(ts, bound_log2=_band_bound(8, n1))
         nv = (jnp.full_like(y[0], jnp.uint32(ninv[0])),
               jnp.full_like(y[0], jnp.uint32(ninv[1])))
         y = modp.mul_modp(y, nv)

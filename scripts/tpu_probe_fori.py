@@ -50,10 +50,16 @@ def fori_time(step, x, iters=16, reps=3):
 
 
 def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
-    B = 512
-    log(f"device: {jax.devices()[0]}, n={n}")
+    ns = [int(v) for v in sys.argv[1:]] or [16384]
+    log(f"device: {jax.devices()[0]}")
     warm_fori()
+    for n in ns:
+        run_one(n)
+
+
+def run_one(n):
+    B = 512 if n == 16384 else 256
+    log(f"--- n={n} (B={B}) ---")
     rng = np.random.default_rng(1)
     n1, n2 = nk._FACTORS[n]
     half = n // 2
@@ -69,7 +75,7 @@ def main():
 
     x = jnp.asarray(rng.integers(0, 1 << 31, size=(B, half),
                                  dtype=np.uint32))
-    for bt in (4, 8, 16):
+    for bt in (8, 16):
         def step(c, bt=bt):
             lo, hi = nk.ntt_fwd(c, n, layout="mat", bt=bt)
             return (lo ^ hi).reshape(B, n)[:, :half]
@@ -86,7 +92,7 @@ def main():
                                    dtype=np.uint64).astype(np.uint32))
     lo0 = jnp.asarray(rng.integers(0, 1 << 32, size=(B, n1, n2),
                                    dtype=np.uint64).astype(np.uint32))
-    for bt in (4, 8, 16):
+    for bt in (4, 8):
         def istep(c, bt=bt):
             out = nk.intt_modcrt((c, hi0), n, p, mu, layout="mat", bt=bt)
             return out.reshape(B, n1, n2)
