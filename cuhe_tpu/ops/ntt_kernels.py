@@ -301,7 +301,7 @@ def _make_inv_kernel(bt: int, n1: int, n2: int, ninv):
     # planes up front (digit stacks then concat free on axis 0);
     # "midcontract" keeps batch-first and lets dot_general contract the
     # middle axis of the digit stack (Mosaic stages the operand itself).
-    mode = _os.environ.get("CUHE_INV_MODE", "midcontract")
+    mode = _os.environ.get("CUHE_INV_MODE", "mfirst")
 
     def kernel(xlo_ref, xhi_ref, p_ref, mulo_ref, muhi_ref,
                w2i_ref, twlo_ref, twhi_ref, w1i_ref, o_ref):
