@@ -68,9 +68,13 @@ def main():
         """Probe whether lax.fori_loop programs compile on this backend.
 
         The axon tunnel's FIRST while-loop compile in a process has been
-        observed to take ~7 minutes (subsequent ones ~2s), and in bad
-        sessions to hang indefinitely.  Compile in a daemon thread with a
-        deadline; on timeout fall back to dispatch-timed measurement."""
+        observed to take 0.5-13 minutes (subsequent ones ~2s; cache hits
+        skip it entirely) — usually because a previous client process
+        still holds the tunnel device.  Compile in a daemon thread and
+        wait in stages up to ~15 minutes before falling back to
+        dispatch-timed measurement (dispatch overhead is ~3.4 ms/call, so
+        the fallback badly inflates every sub-millisecond figure: patience
+        here is cheaper than garbage numbers)."""
         import threading
 
         done = []
@@ -88,7 +92,12 @@ def main():
         th = threading.Thread(target=work, daemon=True)
         t0 = time.time()
         th.start()
-        th.join(timeout=540)
+        for stage in (300, 300, 300):
+            th.join(timeout=stage)
+            if done:
+                break
+            log(f"fori probe still compiling after {time.time()-t0:.0f}s"
+                " (device likely held by a previous client); waiting...")
         log(f"fori probe took {time.time() - t0:.0f}s")
         return bool(done and done[0])
 
