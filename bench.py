@@ -186,7 +186,10 @@ def main():
             per_bundle_max = {}
             bl = bundles if impl == headline_impl else [1, 64, 512]
             for b in bl:
-                iters = max(4, min(256, 2048 // b))
+                # keep >= 16 fori iterations even at b=512: one dispatch
+                # costs ~3.4 ms through the tunnel, which at 4 iterations
+                # would add ~1.7 us/transform to the amortized figure
+                iters = max(16, min(256, 4096 // b))
                 lo_t, hi_t = time_ntt(n, b, iters, impl)
                 per_bundle[b] = lo_t / b * 1e3       # ms per transform (min)
                 per_bundle_max[b] = hi_t / b * 1e3
@@ -200,7 +203,7 @@ def main():
 
     # headline re-measure at end of run (throttle-drift detection, item 9)
     n0 = 16384
-    lo_t, hi_t = time_ntt(n0, 512, 4, headline_impl)
+    lo_t, hi_t = time_ntt(n0, 512, 16, headline_impl)
     results["ntt16k_remeasure"] = {512: lo_t / 512 * 1e3}
     log(f"ntt 16k headline re-measure: {lo_t/512*1e6:.2f} us")
 
