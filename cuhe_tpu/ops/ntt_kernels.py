@@ -106,9 +106,6 @@ def tables(n: int):
     j1 = np.arange(n1, dtype=np.int64)
     j2 = np.arange(n2, dtype=np.int64)
 
-    def cols(d8):  # digit l at columns l*k, ascending
-        return np.concatenate(list(d8), axis=1)
-
     def pair(w):
         return ((w & np.uint64(0xFFFFFFFF)).astype(np.uint32),
                 (w >> np.uint64(32)).astype(np.uint32))
@@ -122,16 +119,72 @@ def tables(n: int):
     twi = pwi[np.outer(j1, j2) % n]
     w1i = pwi[(np.outer(j1, j1) % n1) * n2 % n]
     ninv = hm.modinv(n, P)
+
+    def left_tabs(w, la):
+        d8 = modp.balanced_digits8_np(w)
+        return {p: _left_packed_np(d8, p) for p in set(
+            g[1] for g in _group_plan(la, _pack_for(w.shape[1])))}
+
+    def right_tabs(w, la):
+        d8 = modp.balanced_digits8_np(w)
+        return {p: _right_packed_np(d8, p) for p in set(
+            g[1] for g in _group_plan(la, _pack_for(w.shape[0])))}
+
     return {
         "n1": n1, "n2": n2,
-        "w1": cols(modp.balanced_digits8_np(w1)),       # [n1, 8*n1h] i8
-        "tw": pair(tw),                                 # [n1, n2] u32 x2
-        "w2": cols(modp.balanced_digits8_np(w2)),       # [n2, 8*n2] i8
-        "w2i": cols(modp.balanced_digits8_np(w2i)),     # [n2, 8*n2] i8
-        "twi": pair(twi),                               # [n1, n2] u32 x2
-        "w1i": cols(modp.balanced_digits8_np(w1i)),     # [n1, 8*n1] i8
+        "w1": left_tabs(w1, 5),        # {pack: [(8+p-1)*n1, p*n1h] i8}
+        "tw": pair(tw),                # [n1, n2] u32 x2
+        "w2": right_tabs(w2, 8),       # {pack: [p*n2, (8+p-1)*n2] i8}
+        "w2i": right_tabs(w2i, 8),
+        "twi": pair(twi),              # [n1, n2] u32 x2
+        "w1i": left_tabs(w1i, 8),
         "ninv": (ninv & 0xFFFFFFFF, ninv >> 32),
     }
+
+
+def _pack_for(k: int) -> int:
+    """Digits packed per dot so the contraction depth reaches the MXU's
+    256 systolic depth: K=64 stages pack 4 digits, K=128 pack 2, K>=256
+    pack 1.  (Measured: K=128 dots run the MXU at half utilization.)"""
+    return max(1, min(4, 256 // k))
+
+
+def _group_plan(la: int, pack: int):
+    plan = []
+    a0 = 0
+    while a0 < la:
+        p = min(pack, la - a0)
+        plan.append((a0, p))
+        a0 += p
+    return plan
+
+
+def _left_packed_np(d8: np.ndarray, p: int) -> np.ndarray:
+    """[8, m, k] digit stack -> [(8+p-1)*m, p*k] shifted-block matrix:
+    row-block c, col-block r holds digit (c - r), so one K=p*k dot against
+    p stacked operand digits yields all (8+p-1) byte-position blocks."""
+    _, m, k = d8.shape
+    t_cnt = 8 + p - 1
+    out = np.zeros((t_cnt * m, p * k), np.int8)
+    for c in range(t_cnt):
+        for r in range(p):
+            l = c - r
+            if 0 <= l < 8:
+                out[c * m:(c + 1) * m, r * k:(r + 1) * k] = d8[l]
+    return out
+
+
+def _right_packed_np(d8: np.ndarray, p: int) -> np.ndarray:
+    """[8, k, n] digit stack -> [p*k, (8+p-1)*n] shifted-block matrix."""
+    _, k, nn = d8.shape
+    t_cnt = 8 + p - 1
+    out = np.zeros((p * k, t_cnt * nn), np.int8)
+    for r in range(p):
+        for c in range(t_cnt):
+            l = c - r
+            if 0 <= l < 8:
+                out[r * k:(r + 1) * k, c * nn:(c + 1) * nn] = d8[l]
+    return out
 
 
 def _band_bound(la: int, k: int) -> int:
@@ -141,57 +194,52 @@ def _band_bound(la: int, k: int) -> int:
     return min(max(b, 15), 27)
 
 
-def _dot_left(wcols, x_digits, m: int, k: int):
-    """sum over digit bands of W[m, k] @ X[k, cols]: one flop-minimal dot
-    per byte position t (no slice-adds, no [la*8] intermediates).
+def _dot_left(wtabs, x_digits, m: int, k: int):
+    """sum over digit products of W[m, k] @ X[k, cols] mod P, with digit
+    groups PACKED along the contraction (K = pack*k reaches the MXU's 256
+    systolic depth; see _pack_for/_left_packed_np).
 
-    wcols: int8 [m, 8*k], digit l at columns l*k (ascending).
+    wtabs: {pack: int8 [(8+p-1)*m, p*k]} shifted-block tables.
     x_digits: list (ascending digit a) of int8 arrays with the contraction
-    axis FIRST: [k, ...cols].  The reversed stack concatenates along axis
-    0 (contiguous, no transpose — callers arrange the k-first layout so
-    every band dot is a genuine [m, K] @ [K, cols] wide-N matmul).
+    axis FIRST: [k, ...cols] (concats along axis 0 are contiguous).
     Returns a LAZY pair [m, ...cols] (see combine_limb_sums_lazy).
     """
     la = len(x_digits)
     tail = x_digits[0].shape[1:]
-    xrev = jnp.concatenate(x_digits[::-1], axis=0)  # digit a at (la-1-a)*k
-    xrev = xrev.reshape(la * k, -1)
-    ts = []
-    for t in range(la + 7):
-        l0 = max(0, t - (la - 1))
-        l1 = min(7, t)
-        wk = wcols[:, l0 * k:(l1 + 1) * k]
-        xs = xrev[(la - 1 - (t - l0)) * k:(la - (t - l1)) * k]
-        s = jax.lax.dot_general(wk, xs, (((1,), (0,)), ((), ())),
+    ts = [None] * (la + 7)
+    for a0, p in _group_plan(la, _pack_for(k)):
+        xg = (x_digits[a0] if p == 1 else
+              jnp.concatenate(x_digits[a0:a0 + p], axis=0))
+        xg = xg.reshape(p * k, -1)
+        s = jax.lax.dot_general(wtabs[p], xg, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.int32)
-        ts.append(s.reshape((m,) + tail))
+        for c in range(8 + p - 1):
+            t = a0 + c
+            blk = s[c * m:(c + 1) * m].reshape((m,) + tail)
+            ts[t] = blk if ts[t] is None else ts[t] + blk
     return modp.combine_limb_sums_lazy(ts, bound_log2=_band_bound(la, k))
 
 
-def _dot_right(x_digits, wcols, k: int, n_out: int):
-    """sum over digit products of X[..., k] @ W[k, n_out] mod P.
+def _dot_right(x_digits, wtabs, k: int, n_out: int):
+    """sum over digit products of X[..., k] @ W[k, n_out] mod P, digit
+    groups packed along the contraction (see _dot_left).
 
-    wcols: int8 [k, 8*n_out], digit l at columns l*n_out (ascending).
+    wtabs: {pack: int8 [p*k, (8+p-1)*n_out]} shifted-block tables.
     x_digits: list (ascending digit a) of int8 arrays, contraction on the
     LAST axis.  Returns a LAZY pair [..., n_out].
-
-    Evaluated as `la` WIDE dots [.., k] @ [k, 8*n_out] (one per X digit,
-    against the column-stacked digit matrix) + int32 slice-adds into the
-    byte-position planes, NOT as per-band dots: an n_out-column band dot
-    is a single MXU column tile and leaves 3 of the 4 MXUs idle, while the
-    8*n_out-wide form runs them all; the slice-adds are ~2 orders of
-    magnitude cheaper than the recombination that follows.
     """
     la = len(x_digits)
     nd = x_digits[0].ndim
     ts = [None] * (la + 7)
-    for a, xa in enumerate(x_digits):
+    for a0, p in _group_plan(la, _pack_for(k)):
+        xg = (x_digits[a0] if p == 1 else
+              jnp.concatenate(x_digits[a0:a0 + p], axis=-1))
         s = jax.lax.dot_general(
-            xa, wcols, (((nd - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)            # [..., 8*n_out]
-        for l in range(8):
-            t = a + l
-            blk = s[..., l * n_out:(l + 1) * n_out]
+            xg, wtabs[p], (((nd - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)        # [..., (8+p-1)*n_out]
+        for c in range(8 + p - 1):
+            t = a0 + c
+            blk = s[..., c * n_out:(c + 1) * n_out]
             ts[t] = blk if ts[t] is None else ts[t] + blk
     return modp.combine_limb_sums_lazy(ts, bound_log2=_band_bound(la, k))
 
@@ -200,38 +248,53 @@ def _dot_right(x_digits, wcols, k: int, n_out: int):
 # forward kernel
 # ---------------------------------------------------------------------------
 
-def _make_fwd_kernel(bt: int, n1: int, n2: int):
-    n1h = n1 // 2
-    # Optional software pipelining: process `split` independent sub-batches
-    # so Mosaic's scheduler can overlap one chain's MXU band dots with the
-    # other's VPU recombination (the phases otherwise strictly alternate).
-    split = int(_os.environ.get("CUHE_FWD_SPLIT", "1"))
-    if split < 1 or bt % split:
-        split = 1
-    bth = bt // split
-
-    def kernel(x_ref, w1_ref, twlo_ref, twhi_ref, w2_ref, olo_ref, ohi_ref):
-        tw = (twlo_ref[...][:, None, :], twhi_ref[...][:, None, :])
-        for h in range(split):
-            x = x_ref[h * bth:(h + 1) * bth]              # [bth, n1h, n2] u32
-            # m-first internal layout: one u32-plane transpose up front buys
-            # transpose-free (axis-0) digit stacking for the stage-1 dots
-            xt = jnp.swapaxes(x, 0, 1)                    # [n1h, bth, n2]
-            xd = modp.u32_to_digits5(xt)
-            # stage 1: left band dots contracting j1 (axis 0) -> [n1, ...]
-            b = _dot_left(w1_ref[...], xd, n1, n1h)       # lazy [n1, bth, n2]
-            c = modp.mul_modp(b, tw)                      # canonical
-            cd = modp.pair_to_digits8(c)
-            d = _dot_right(cd, w2_ref[...], n2, n2)       # lazy [n1, bth, n2]
-            d = modp.canonicalize(d)
-            olo_ref[h * bth:(h + 1) * bth] = jnp.swapaxes(d[0], 0, 1)
-            ohi_ref[h * bth:(h + 1) * bth] = jnp.swapaxes(d[1], 0, 1)
-
-    return kernel
-
-
 def _const2(*_):
     return (0, 0)
+
+
+def _flatten_tabs(*tabdicts):
+    """Flatten per-stage {pack: table} dicts into (arrays, rebuild_fn)."""
+    arrays = []
+    shapes = []
+    for td in tabdicts:
+        keys = sorted(td)
+        shapes.append(keys)
+        arrays.extend(td[p] for p in keys)
+
+    def rebuild(refs):
+        out = []
+        i = 0
+        for keys in shapes:
+            out.append({p: refs[i + j][...] for j, p in enumerate(keys)})
+            i += len(keys)
+        return out
+
+    return arrays, rebuild
+
+
+def _make_fwd_kernel(bt: int, n1: int, n2: int, rebuild):
+    n1h = n1 // 2
+
+    def kernel(*refs):
+        x_ref, twlo_ref, twhi_ref = refs[0], refs[1], refs[2]
+        olo_ref, ohi_ref = refs[-2], refs[-1]
+        w1_tabs, w2_tabs = rebuild(refs[3:-2])
+        tw = (twlo_ref[...][:, None, :], twhi_ref[...][:, None, :])
+        x = x_ref[...]                                # [bt, n1h, n2] u32
+        # m-first internal layout: one u32-plane transpose up front buys
+        # transpose-free (axis-0) digit stacking for the stage-1 dots
+        xt = jnp.swapaxes(x, 0, 1)                    # [n1h, bt, n2]
+        xd = modp.u32_to_digits5(xt)
+        # stage 1: packed left dots contracting j1 (axis 0) -> [n1, ...]
+        b = _dot_left(w1_tabs, xd, n1, n1h)           # lazy [n1, bt, n2]
+        c = modp.mul_modp(b, tw)                      # canonical
+        cd = modp.pair_to_digits8(c)
+        d = _dot_right(cd, w2_tabs, n2, n2)           # lazy [n1, bt, n2]
+        d = modp.canonicalize(d)
+        olo_ref[...] = jnp.swapaxes(d[0], 0, 1)
+        ohi_ref[...] = jnp.swapaxes(d[1], 0, 1)
+
+    return kernel
 
 
 @functools.lru_cache(maxsize=None)
@@ -239,10 +302,13 @@ def _fwd_call(n: int, bt: int, interpret: bool):
     t = tables(n)
     n1, n2 = t["n1"], t["n2"]
     n1h = n1 // 2
-    kernel = _make_fwd_kernel(bt, n1, n2)
+    tab_arrays, rebuild = _flatten_tabs(t["w1"], t["w2"])
+    kernel = _make_fwd_kernel(bt, n1, n2, rebuild)
+    tab_specs = [pl.BlockSpec(a.shape, _const2) for a in tab_arrays]
+    tab_j = [jnp.asarray(a) for a in tab_arrays]
 
     @jax.jit
-    def call(x, w1, twlo, twhi, w2):  # x: u32 [B, n/2], B % bt == 0
+    def call(x, twlo, twhi, *tabs):  # x: u32 [B, n/2], B % bt == 0
         bsz = x.shape[0]
         xm = x.reshape(bsz, n1h, n2)
         out = pl.pallas_call(
@@ -250,20 +316,18 @@ def _fwd_call(n: int, bt: int, interpret: bool):
             grid=(bsz // bt,),
             in_specs=[
                 pl.BlockSpec((bt, n1h, n2), lambda i: (i, 0, 0)),
-                pl.BlockSpec((n1, 8 * n1h), _const2),
                 pl.BlockSpec((n1, n2), _const2),
                 pl.BlockSpec((n1, n2), _const2),
-                pl.BlockSpec((n2, 8 * n2), _const2),
-            ],
+            ] + tab_specs,
             out_specs=(pl.BlockSpec((bt, n1, n2), lambda i: (i, 0, 0)),) * 2,
             out_shape=(jax.ShapeDtypeStruct((bsz, n1, n2), jnp.uint32),) * 2,
             interpret=interpret,
             **({} if interpret or _compiler_params() is None
                else {"compiler_params": _compiler_params()}),
-        )(xm, w1, twlo, twhi, w2)
+        )(xm, twlo, twhi, *tabs)
         return out
 
-    return call
+    return call, tab_j
 
 
 def ntt_fwd(x, n: int, *, layout: str = "mat", bt: int | None = None,
@@ -281,9 +345,9 @@ def ntt_fwd(x, n: int, *, layout: str = "mat", bt: int | None = None,
     pad = (-b) % bt
     if pad:
         x = jnp.pad(x, ((0, pad), (0, 0)))
-    args = (jnp.asarray(t["w1"]), jnp.asarray(t["tw"][0]),
-            jnp.asarray(t["tw"][1]), jnp.asarray(t["w2"]))
-    lo, hi = _fwd_call(n, bt, interpret)(x, *args)
+    call, tab_j = _fwd_call(n, bt, interpret)
+    lo, hi = call(x, jnp.asarray(t["tw"][0]), jnp.asarray(t["tw"][1]),
+                  *tab_j)
     lo, hi = lo[:b], hi[:b]
     if layout == "mat":
         return lo, hi
@@ -296,44 +360,22 @@ def ntt_fwd(x, n: int, *, layout: str = "mat", bt: int | None = None,
 # inverse kernel (+ modcrt epilogue)
 # ---------------------------------------------------------------------------
 
-def _make_inv_kernel(bt: int, n1: int, n2: int, ninv):
-    # inverse stage-2 contraction style: "mfirst" transposes the input
-    # planes up front (digit stacks then concat free on axis 0);
-    # "midcontract" keeps batch-first and lets dot_general contract the
-    # middle axis of the digit stack (Mosaic stages the operand itself).
-    mode = _os.environ.get("CUHE_INV_MODE", "mfirst")
-
-    def kernel(xlo_ref, xhi_ref, p_ref, mulo_ref, muhi_ref,
-               w2i_ref, twlo_ref, twhi_ref, w1i_ref, o_ref):
-        if mode == "mfirst":
-            x = (jnp.swapaxes(xlo_ref[...], 0, 1),
-                 jnp.swapaxes(xhi_ref[...], 0, 1))        # [n1, bt, n2] mat
-            xd = modp.pair_to_digits8(x)
-            a = _dot_right(xd, w2i_ref[...], n2, n2)      # lazy [n1, bt, n2]
-            tw = (twlo_ref[...][:, None, :], twhi_ref[...][:, None, :])
-            b = modp.mul_modp(a, tw)                      # canonical
-            bd = modp.pair_to_digits8(b)
-            y = _dot_left(w1i_ref[...], bd, n1, n1)       # lazy [t1, bt, n2]
-        else:
-            x = (xlo_ref[...], xhi_ref[...])              # [bt, n1, n2] mat
-            xd = modp.pair_to_digits8(x)
-            a = _dot_right(xd, w2i_ref[...], n2, n2)      # lazy [bt, n1, n2]
-            tw = (twlo_ref[...][None, :, :], twhi_ref[...][None, :, :])
-            b = modp.mul_modp(a, tw)                      # canonical
-            bd = modp.pair_to_digits8(b)
-            # contract k1 = middle axis of the reversed digit stack
-            brev = jnp.concatenate(bd[::-1], axis=1)      # [bt, 8*n1, n2]
-            ts = []
-            for t in range(15):
-                l0 = max(0, t - 7)
-                l1 = min(7, t)
-                wk = w1i_ref[:, l0 * n1:(l1 + 1) * n1]
-                xs = jax.lax.slice_in_dim(brev, (7 - (t - l0)) * n1,
-                                          (8 - (t - l1)) * n1, axis=1)
-                ts.append(jax.lax.dot_general(
-                    wk, xs, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.int32))    # [t1, bt, n2]
-            y = modp.combine_limb_sums_lazy(ts, bound_log2=_band_bound(8, n1))
+def _make_inv_kernel(bt: int, n1: int, n2: int, ninv, rebuild):
+    def kernel(*refs):
+        (xlo_ref, xhi_ref, p_ref, mulo_ref, muhi_ref,
+         twlo_ref, twhi_ref) = refs[:7]
+        o_ref = refs[-1]
+        w2i_tabs, w1i_tabs = rebuild(refs[7:-1])
+        # m-first internal layout (see fwd kernel): two u32-plane transposes
+        # at load, then every digit concat is a contiguous axis-0 stack
+        x = (jnp.swapaxes(xlo_ref[...], 0, 1),
+             jnp.swapaxes(xhi_ref[...], 0, 1))            # [n1, bt, n2] mat
+        xd = modp.pair_to_digits8(x)
+        a = _dot_right(xd, w2i_tabs, n2, n2)              # lazy [n1, bt, n2]
+        tw = (twlo_ref[...][:, None, :], twhi_ref[...][:, None, :])
+        b = modp.mul_modp(a, tw)                          # canonical
+        bd = modp.pair_to_digits8(b)
+        y = _dot_left(w1i_tabs, bd, n1, n1)               # lazy [t1, bt, n2]
         nv = (jnp.full_like(y[0], jnp.uint32(ninv[0])),
               jnp.full_like(y[0], jnp.uint32(ninv[1])))
         y = modp.mul_modp(y, nv)
@@ -349,10 +391,13 @@ def _make_inv_kernel(bt: int, n1: int, n2: int, ninv):
 def _inv_call(n: int, bt: int, interpret: bool):
     t = tables(n)
     n1, n2 = t["n1"], t["n2"]
-    kernel = _make_inv_kernel(bt, n1, n2, t["ninv"])
+    tab_arrays, rebuild = _flatten_tabs(t["w2i"], t["w1i"])
+    kernel = _make_inv_kernel(bt, n1, n2, t["ninv"], rebuild)
+    tab_specs = [pl.BlockSpec(a.shape, _const2) for a in tab_arrays]
+    tab_j = [jnp.asarray(a) for a in tab_arrays]
 
     @jax.jit
-    def call(xlo, xhi, p, mu_lo, mu_hi, w2i, twlo, twhi, w1i):
+    def call(xlo, xhi, p, mu_lo, mu_hi, twlo, twhi, *tabs):
         bsz = xlo.shape[0]
         # per-transform scalars as [B, 1, 1]: 3D blocks keep the (1, 1)
         # trailing dims equal to the array's, so any bt is legal (2D (bt, 1)
@@ -366,20 +411,18 @@ def _inv_call(n: int, bt: int, interpret: bool):
                 pl.BlockSpec((bt, n1, n2), lambda i: (i, 0, 0)),
                 pl.BlockSpec((bt, n1, n2), lambda i: (i, 0, 0)),
                 scal, scal, scal,
-                pl.BlockSpec((n2, 8 * n2), _const2),
                 pl.BlockSpec((n1, n2), _const2),
                 pl.BlockSpec((n1, n2), _const2),
-                pl.BlockSpec((n1, 8 * n1), _const2),
-            ],
+            ] + tab_specs,
             out_specs=pl.BlockSpec((bt, n1, n2), lambda i: (i, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((bsz, n1, n2), jnp.uint32),
             interpret=interpret,
             **({} if interpret or _compiler_params() is None
                else {"compiler_params": _compiler_params()}),
-        )(xlo, xhi, p, mu_lo, mu_hi, w2i, twlo, twhi, w1i)
+        )(xlo, xhi, p, mu_lo, mu_hi, twlo, twhi, *tabs)
         return out
 
-    return call
+    return call, tab_j
 
 
 def intt_modcrt(x_pair, n: int, p, mu, *, layout: str = "mat",
@@ -409,10 +452,9 @@ def intt_modcrt(x_pair, n: int, p, mu, *, layout: str = "mat",
         pv = jnp.pad(pv, ((0, pad), (0, 0), (0, 0)), constant_values=1)
         ml = jnp.pad(ml, ((0, pad), (0, 0), (0, 0)))
         mh = jnp.pad(mh, ((0, pad), (0, 0), (0, 0)))
-    tb = tables(n)
-    args = (jnp.asarray(tb["w2i"]), jnp.asarray(tb["twi"][0]),
-            jnp.asarray(tb["twi"][1]), jnp.asarray(tb["w1i"]))
-    out = _inv_call(n, bt, interpret)(lo, hi, pv, ml, mh, *args)
+    call, tab_j = _inv_call(n, bt, interpret)
+    out = call(lo, hi, pv, ml, mh, jnp.asarray(t["twi"][0]),
+               jnp.asarray(t["twi"][1]), *tab_j)
     return out[:b].reshape(b, n)
 
 
