@@ -62,9 +62,10 @@ P = hm.P
 
 _FACTORS = {16384: (128, 128), 32768: (128, 256), 65536: (256, 256)}
 
-# transforms per grid step (VMEM-bounded; fwd measured fastest at 8 on 16k)
-_DEFAULT_BT = {16384: 8, 32768: 4, 65536: 2}
-_DEFAULT_BT_INV = {16384: 8, 32768: 4, 65536: 2}
+# transforms per grid step (VMEM-bounded; bt=8 measured fastest for the
+# forward kernel at every length; the 64k inverse only fits at bt=4)
+_DEFAULT_BT = {16384: 8, 32768: 8, 65536: 8}
+_DEFAULT_BT_INV = {16384: 8, 32768: 8, 65536: 4}
 
 
 def _compiler_params():
