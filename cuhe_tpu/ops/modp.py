@@ -385,6 +385,24 @@ def canonicalize(pair):
     return _cond_sub_p(pair)
 
 
+def _combine_offsets(n: int, bound_log2: int):
+    """Per-plane offsets C_t with sum_t C_t 2^(8t) == 0 (mod P).
+
+    Base offset 2^bound makes every plane non-negative; the bytes of
+    v = -(sum_t 2^(bound+8t)) mod P are absorbed into the first 8 offsets,
+    so the recombination needs NO final constant-subtraction pass.
+    """
+    s0 = sum(1 << (bound_log2 + 8 * t) for t in range(n)) % P
+    v = (-s0) % P
+    offs = [1 << bound_log2] * n
+    for t in range(min(8, n)):
+        offs[t] += (v >> (8 * t)) & 0xFF
+    # residue above 8 bytes folds into plane 7 (v < 2^64 so v>>56 < 2^8,
+    # already consumed); verify exactness
+    assert sum(o * (1 << (8 * t)) for t, o in enumerate(offs)) % P == 0
+    return offs
+
+
 def combine_limb_sums_lazy(ts: list, bound_log2: int = 25):
     """sum_t T_t * 2^(8t) mod P for signed int32 planes T_t, |T_t| < 2^bound.
 
@@ -394,16 +412,20 @@ def combine_limb_sums_lazy(ts: list, bound_log2: int = 25):
     pairs, then one algebraic fold
         G0 + G1 2^32 + G2 2^64 + G3 2^96  ==  G0 - G2 - G3 + (G1 + G2) 2^32
     (using 2^64 == 2^32 - 1, 2^96 == -1) replaces the 6-word ripple +
-    3 reduce128 passes of combine_limb_sums.  Requires bound_log2 <= 27
+    3 reduce128 passes of combine_limb_sums.  The sign offsets are chosen
+    so their weighted sum is == 0 mod P (no correction pass), and absent
+    groups drop out of the fold at trace time.  Requires bound_log2 <= 27
     and len(ts) <= 16.
     """
     n = len(ts)
     assert n <= 16 and bound_log2 <= 27
-    c = jnp.int32(1 << bound_log2)
-    us = [(t + c).astype(jnp.uint32) for t in ts]  # U_t < 2^(bound+1)
+    offs = _combine_offsets(n, bound_log2)
+    us = [(t + jnp.int32(o)).astype(jnp.uint32)
+          for t, o in zip(ts, offs)]              # U_t < 2^(bound+1) + 255
     zero = jnp.zeros_like(us[0])
+    ng = (n + 3) // 4
     groups = []
-    for g in range((n + 3) // 4):
+    for g in range(ng):
         acc = (us[4 * g], zero)
         for j in (1, 2, 3):
             i = 4 * g + j
@@ -411,15 +433,22 @@ def combine_limb_sums_lazy(ts: list, bound_log2: int = 25):
                 u = us[i]
                 sh = jnp.uint32(8 * j)
                 acc, _ = add64(acc, (u << sh, u >> jnp.uint32(32 - 8 * j)))
-        groups.append(acc)  # < 2^(bound+1+24) <= 2^52
-    while len(groups) < 4:
-        groups.append((zero, zero))
-    g0, g1, g2, g3 = groups
-    s, _ = add64(g1, g2)                      # < 2^53
+        groups.append(acc)  # < 2^(bound+2+24) <= 2^53
+    g0 = groups[0]
+    g1 = groups[1] if ng > 1 else None
+    g2 = groups[2] if ng > 2 else None
+    g3 = groups[3] if ng > 3 else None
+    if g1 is None:
+        return g0  # single group: already a value < 2^53
+    # s = G1 + G2 (G2 may be absent)
+    if g2 is not None:
+        s, _ = add64(g1, g2)                      # < 2^54
+    else:
+        s = g1
     u = s[0] + s[1]
     cb = _carry(u, s[0])
     # pos = G0 + u*2^32 + cb*(2^32 - 1); wrap corrections never double-carry
-    # because the wrapped remainder is < 2^53
+    # because the wrapped remainder is < 2^54
     corr = (jnp.full_like(zero, MASK32), zero)
     pos, c1 = add64(g0, (zero, u))
     pos2, _ = add64(pos, corr)
@@ -427,17 +456,16 @@ def combine_limb_sums_lazy(ts: list, bound_log2: int = 25):
     pos3, c2 = add64(pos, (cb * jnp.uint32(MASK32), zero))
     pos4, _ = add64(pos3, corr)
     pos = _sel(c2.astype(bool), pos4, pos3)
-    # neg = G2 + G3 + s_hi < 2^54
-    neg, _ = add64(g2, g3)
-    neg, _ = add64(neg, (s[1], zero))
-    # lazy result < 2^64 (sub_modp's borrow fold is exact mod P here)
+    # neg = G2 + G3 + s_hi < 2^55
+    neg = (s[1], zero)
+    if g2 is not None:
+        neg, _ = add64(neg, g2)
+    if g3 is not None:
+        neg, _ = add64(neg, g3)
+    # lazy result < 2^64 (the borrow fold is exact mod P)
     d, bor = sub64(pos, neg)
     d2, _ = sub64(d, corr)
-    corr_pair = sum(
-        (1 << (8 * t)) * (1 << bound_log2) for t in range(n)) % P
-    cp = (jnp.full_like(zero, corr_pair & MASK32),
-          jnp.full_like(zero, corr_pair >> 32))
-    return sub_modp(_sel(bor.astype(bool), d2, d), cp)
+    return _sel(bor.astype(bool), d2, d)
 
 
 def combine_limb_sums(ts: list):
