@@ -169,6 +169,9 @@ class Context:
         m_words, mi_words, bi = self._icrt[lvl]
 
         def f(c):
+            if nk.use_fused():
+                return crt_ops.icrt_to_raw_fused(c, primes, mus, bi,
+                                                 mi_words, m_words)
             return crt_ops.icrt_to_raw(
                 c, jnp.asarray(primes),
                 (jnp.asarray(mus[0]), jnp.asarray(mus[1])),

@@ -61,36 +61,9 @@ def icrt_to_raw(crt: jnp.ndarray, primes: jnp.ndarray, mus, bi: jnp.ndarray,
     def step(carry_sum, xs):
         x_i, p_i, mu_lo, mu_hi, b_i, mi_w = xs
         y = modp.mulmod_u32(x_i, b_i, p_i, (mu_lo, mu_hi))  # x_i * b_i mod p_i
-        # accumulate y * mi into the multiword sum (words + 1 planes)
-        s = list(carry_sum)
-        c = jnp.zeros_like(zero)
-        hi_prev = jnp.zeros_like(zero)
-        for w in range(words):
-            lo, hi = modp.mul32(y, mi_w[w])
-            t = s[w] + lo
-            c0 = (t < s[w]).astype(jnp.uint32)
-            t2 = t + hi_prev
-            c1 = (t2 < t).astype(jnp.uint32)
-            t3 = t2 + c
-            c2 = (t3 < t2).astype(jnp.uint32)
-            s[w] = t3
-            c = c0 + c1 + c2
-            hi_prev = hi
-        t = s[words] + hi_prev + c
-        s[words] = t
-        # conditional subtract M when sum >= M (leq_M semantics: >=)
-        ge = s[words] > 0
-        eqrun = jnp.ones_like(zero, dtype=bool)
-        for w in range(words - 1, -1, -1):
-            ge = ge | (eqrun & (s[w] > m_bc[w]))
-            eqrun = eqrun & (s[w] == m_bc[w])
-        ge = ge | eqrun  # equal counts as >=
-        bor = jnp.zeros_like(zero)
-        for w in range(words):
-            d = s[w] - m_bc[w] - bor
-            bor = ((s[w] < m_bc[w]) | ((s[w] == m_bc[w]) & (bor > 0))).astype(jnp.uint32)
-            s[w] = jnp.where(ge, d, s[w])
-        s[words] = jnp.where(ge, s[words] - bor, s[words])
+        s = _icrt_accum(list(carry_sum), y,
+                        [mi_w[w] for w in range(words)], words)
+        s = _icrt_cond_sub_m(s, m_bc, words)
         return tuple(s), None
 
     init = tuple(zero for _ in range(words + 1))
@@ -98,6 +71,97 @@ def icrt_to_raw(crt: jnp.ndarray, primes: jnp.ndarray, mus, bi: jnp.ndarray,
           mi_words)
     out, _ = jax.lax.scan(step, init, xs)
     return jnp.moveaxis(jnp.stack(out[:words]), 0, -2)
+
+
+def _icrt_accum(s, y, mi_w, words):
+    """Accumulate y * mi (multiword) into the words+1-plane sum `s`."""
+    c = jnp.zeros_like(s[0])
+    hi_prev = jnp.zeros_like(s[0])
+    for w in range(words):
+        lo, hi = modp.mul32(y, mi_w[w])
+        t = s[w] + lo
+        c0 = (t < s[w]).astype(jnp.uint32)
+        t2 = t + hi_prev
+        c1 = (t2 < t).astype(jnp.uint32)
+        t3 = t2 + c
+        c2 = (t3 < t2).astype(jnp.uint32)
+        s[w] = t3
+        c = c0 + c1 + c2
+        hi_prev = hi
+    s[words] = s[words] + hi_prev + c
+    return s
+
+
+def _icrt_cond_sub_m(s, m_bc, words):
+    """Conditionally subtract M when sum >= M (leq_M, Base.cu:845-856)."""
+    ge = s[words] > 0
+    eqrun = jnp.ones_like(s[0], dtype=bool)
+    for w in range(words - 1, -1, -1):
+        ge = ge | (eqrun & (s[w] > m_bc[w]))
+        eqrun = eqrun & (s[w] == m_bc[w])
+    ge = ge | eqrun  # equal counts as >=
+    bor = jnp.zeros_like(s[0])
+    for w in range(words):
+        d = s[w] - m_bc[w] - bor
+        bor = ((s[w] < m_bc[w])
+               | ((s[w] == m_bc[w]) & (bor > 0))).astype(jnp.uint32)
+        s[w] = jnp.where(ge, d, s[w])
+    s[words] = jnp.where(ge, s[words] - bor, s[words])
+    return s
+
+
+def icrt_to_raw_fused(crt, primes_np, mus_np, bi_np, mi_words_np, m_words_np,
+                      *, interpret: bool = False, block_cols: int = 2048):
+    """icrt_to_raw as ONE fused Pallas kernel (TPU hot path).
+
+    The lax.scan version round-trips the (words+1)-plane carry state
+    through HBM once per prime; here the whole per-coefficient chain
+    (mulmod by b_i, multiword accumulate of M/p_i, conditional M
+    subtract) runs in VMEM over column blocks, with all per-prime
+    constants embedded as scalars.  Bit-identical to icrt_to_raw
+    (tests/test_poly_ops.py::test_icrt_fused_matches_scan).
+
+    crt: uint32 [..., pnum, n]; constants as numpy/python values.
+    Returns uint32 [..., words, n].
+    """
+    from jax.experimental import pallas as pl
+
+    pnum, n = crt.shape[-2], crt.shape[-1]
+    lead = crt.shape[:-2]
+    words = int(len(m_words_np))
+    consts = [(int(primes_np[i]), int(mus_np[0][i]), int(mus_np[1][i]),
+               int(bi_np[i]), [int(v) for v in mi_words_np[i]])
+              for i in range(pnum)]
+    m_ints = [int(v) for v in m_words_np]
+    cb = min(block_cols, n)
+    while n % cb:
+        cb //= 2
+
+    def kernel(x_ref, o_ref):
+        x = x_ref[...]                               # [1, pnum, cb]
+        zero = jnp.zeros(x.shape[:1] + (1,) + x.shape[2:], jnp.uint32)
+        zero = zero[:, 0]
+        s = [jnp.zeros_like(x[:, 0]) for _ in range(words + 1)]
+        m_bc = [jnp.full_like(s[0], jnp.uint32(mw)) for mw in m_ints]
+        for i in range(pnum):
+            p_i, mu_lo, mu_hi, b_i, mi_w = consts[i]
+            y = modp.mulmod_u32(x[:, i], jnp.uint32(b_i), jnp.uint32(p_i),
+                                (jnp.uint32(mu_lo), jnp.uint32(mu_hi)))
+            s = _icrt_accum(s, y, [jnp.uint32(v) for v in mi_w], words)
+            s = _icrt_cond_sub_m(s, m_bc, words)
+        o_ref[...] = jnp.stack(s[:words], axis=1)    # [1, words, cb]
+
+    flat = crt.reshape((-1, pnum, n))
+    b = flat.shape[0]
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, n // cb),
+        in_specs=[pl.BlockSpec((1, pnum, cb), lambda i, j: (i, 0, j))],
+        out_specs=pl.BlockSpec((1, words, cb), lambda i, j: (i, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((b, words, n), jnp.uint32),
+        interpret=interpret,
+    )(flat)
+    return out.reshape(lead + (words, n))
 
 
 def icrt_psum_combine(partial: jnp.ndarray, m_words: jnp.ndarray,

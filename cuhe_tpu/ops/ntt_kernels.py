@@ -306,7 +306,6 @@ def _fwd_call(n: int, bt: int, interpret: bool):
     tab_arrays, rebuild = _flatten_tabs(t["w1"], t["w2"])
     kernel = _make_fwd_kernel(bt, n1, n2, rebuild)
     tab_specs = [pl.BlockSpec(a.shape, _const2) for a in tab_arrays]
-    tab_j = [jnp.asarray(a) for a in tab_arrays]
 
     @jax.jit
     def call(x, twlo, twhi, *tabs):  # x: u32 [B, n/2], B % bt == 0
@@ -328,7 +327,10 @@ def _fwd_call(n: int, bt: int, interpret: bool):
         )(xm, twlo, twhi, *tabs)
         return out
 
-    return call, tab_j
+    # NOTE: return numpy tables, not jnp arrays: converting here would bind
+    # device constants to whatever trace is active at first (cached) call
+    # and leak tracers into later traces
+    return call, tab_arrays
 
 
 def ntt_fwd(x, n: int, *, layout: str = "mat", bt: int | None = None,
@@ -346,9 +348,9 @@ def ntt_fwd(x, n: int, *, layout: str = "mat", bt: int | None = None,
     pad = (-b) % bt
     if pad:
         x = jnp.pad(x, ((0, pad), (0, 0)))
-    call, tab_j = _fwd_call(n, bt, interpret)
+    call, tab_np = _fwd_call(n, bt, interpret)
     lo, hi = call(x, jnp.asarray(t["tw"][0]), jnp.asarray(t["tw"][1]),
-                  *tab_j)
+                  *[jnp.asarray(a) for a in tab_np])
     lo, hi = lo[:b], hi[:b]
     if layout == "mat":
         return lo, hi
@@ -395,7 +397,6 @@ def _inv_call(n: int, bt: int, interpret: bool):
     tab_arrays, rebuild = _flatten_tabs(t["w2i"], t["w1i"])
     kernel = _make_inv_kernel(bt, n1, n2, t["ninv"], rebuild)
     tab_specs = [pl.BlockSpec(a.shape, _const2) for a in tab_arrays]
-    tab_j = [jnp.asarray(a) for a in tab_arrays]
 
     @jax.jit
     def call(xlo, xhi, p, mu_lo, mu_hi, twlo, twhi, *tabs):
@@ -423,7 +424,7 @@ def _inv_call(n: int, bt: int, interpret: bool):
         )(xlo, xhi, p, mu_lo, mu_hi, twlo, twhi, *tabs)
         return out
 
-    return call, tab_j
+    return call, tab_arrays
 
 
 def intt_modcrt(x_pair, n: int, p, mu, *, layout: str = "mat",
@@ -453,9 +454,9 @@ def intt_modcrt(x_pair, n: int, p, mu, *, layout: str = "mat",
         pv = jnp.pad(pv, ((0, pad), (0, 0), (0, 0)), constant_values=1)
         ml = jnp.pad(ml, ((0, pad), (0, 0), (0, 0)))
         mh = jnp.pad(mh, ((0, pad), (0, 0), (0, 0)))
-    call, tab_j = _inv_call(n, bt, interpret)
+    call, tab_np = _inv_call(n, bt, interpret)
     out = call(lo, hi, pv, ml, mh, jnp.asarray(t["twi"][0]),
-               jnp.asarray(t["twi"][1]), *tab_j)
+               jnp.asarray(t["twi"][1]), *[jnp.asarray(a) for a in tab_np])
     return out[:b].reshape(b, n)
 
 

@@ -100,6 +100,9 @@ def batched_and_relin_modswitch(ctx: Context, lvl: int, mesh: Mesh = None):
         if icrt_sharded is not None:
             raw = icrt_sharded(red, pj, muj[0], muj[1], jnp.asarray(bi),
                                jnp.asarray(mi_words), jnp.asarray(m_words))
+        elif nk.use_fused():
+            raw = crt_ops.icrt_to_raw_fused(red, primes_np, mus_np, bi,
+                                            mi_words, m_words)
         else:
             raw = crt_ops.icrt_to_raw(red, pj, muj, jnp.asarray(bi),
                                       jnp.asarray(mi_words),

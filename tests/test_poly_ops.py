@@ -130,3 +130,36 @@ def test_xor_not_gates(ctx, rng):
     want = list(a)
     want[0] = (want[0] + pr.mod_msg - 1) % q
     assert nt == want
+
+
+def test_icrt_fused_matches_scan():
+    """The fused Pallas ICRT (ops/crt.icrt_to_raw_fused, TPU hot path) is
+    bit-identical to the scan version, in interpreter mode."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from cuhe_tpu import hostmath as hm
+    from cuhe_tpu.ops import crt as crt_ops, modp
+    from cuhe_tpu.params import make_params
+
+    pr = make_params(3, 2, 16, 50, 25, 8191)
+    pn = pr.num_crt_prime
+    q, mi, bi = pr.icrt_consts(0)
+    w = pr.words_coeff(0)
+    m_words = hm.ints_to_words([q], w)[:, 0]
+    mi_words = np.stack([hm.ints_to_words([v], w)[:, 0] for v in mi])
+    primes = np.array(list(pr.crt_primes), np.uint32)[:pn]
+    mus = np.array([modp.barrett_mu(int(p)) for p in primes], np.uint64)
+    mus_np = (mus[:, 0].astype(np.uint32), mus[:, 1].astype(np.uint32))
+    bi_np = np.array(bi, np.uint32)
+    rng = np.random.default_rng(5)
+    x = rng.integers(0, primes[None, :, None],
+                     size=(2, pn, 1024)).astype(np.uint32)
+    want = crt_ops.icrt_to_raw(
+        jnp.asarray(x), jnp.asarray(primes),
+        (jnp.asarray(mus_np[0]), jnp.asarray(mus_np[1])),
+        jnp.asarray(bi_np), jnp.asarray(mi_words), jnp.asarray(m_words))
+    got = crt_ops.icrt_to_raw_fused(jnp.asarray(x), primes, mus_np, bi_np,
+                                    mi_words, m_words, interpret=True,
+                                    block_cols=512)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
