@@ -186,10 +186,12 @@ def main():
             per_bundle_max = {}
             bl = bundles if impl == headline_impl else [1, 64, 512]
             for b in bl:
-                # keep >= 16 fori iterations even at b=512: one dispatch
-                # costs ~3.4 ms through the tunnel, which at 4 iterations
-                # would add ~1.7 us/transform to the amortized figure
-                iters = max(16, min(256, 4096 // b))
+                # a single synchronous jitted call + fetch costs ~25 ms
+                # through the tunnel (measured by solving iters=16 vs 64
+                # timings); amortize it below ~0.4 us/transform.  The
+                # reference's cudaEvent timing likewise excludes host
+                # overhead (tests/test_ntt.cu:67-100).
+                iters = max(128, min(512, 16384 // b))
                 lo_t, hi_t = time_ntt(n, b, iters, impl)
                 per_bundle[b] = lo_t / b * 1e3       # ms per transform (min)
                 per_bundle_max[b] = hi_t / b * 1e3
@@ -203,7 +205,7 @@ def main():
 
     # headline re-measure at end of run (throttle-drift detection, item 9)
     n0 = 16384
-    lo_t, hi_t = time_ntt(n0, 512, 16, headline_impl)
+    lo_t, hi_t = time_ntt(n0, 512, 128, headline_impl)
     results["ntt16k_remeasure"] = {512: lo_t / 512 * 1e3}
     log(f"ntt 16k headline re-measure: {lo_t/512*1e6:.2f} us")
 
@@ -222,7 +224,7 @@ def main():
             # [b, pnum, n] uint32 input to keep the chain going
             o = jnp.concatenate([o, o[:, :1]], axis=1)      # pnum planes
             return jnp.concatenate([o, o], axis=-1)         # length n
-        K = 16
+        K = 64  # amortize the ~25 ms per-call tunnel round trip
         if USE_FORI:
             g = jax.jit(lambda a: lax.fori_loop(0, K, body, a))
             np.asarray(g(args[0])[0, 0, :1])
