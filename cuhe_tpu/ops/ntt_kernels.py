@@ -63,8 +63,8 @@ P = hm.P
 _FACTORS = {16384: (128, 128), 32768: (128, 256), 65536: (256, 256)}
 
 # transforms per grid step (VMEM-bounded; bt=8 measured fastest for the
-# forward kernel at every length; the 64k inverse only fits at bt=4)
-_DEFAULT_BT = {16384: 8, 32768: 8, 65536: 8}
+# forward kernel at 16k/64k, 16 at 32k; the 64k inverse only fits at bt=4)
+_DEFAULT_BT = {16384: 8, 32768: 16, 65536: 8}
 _DEFAULT_BT_INV = {16384: 8, 32768: 8, 65536: 4}
 
 
