@@ -132,9 +132,12 @@ def test_xor_not_gates(ctx, rng):
     assert nt == want
 
 
-def test_icrt_fused_matches_scan():
+@pytest.mark.parametrize("cfg", [(3, 2, 16, 50, 25, 8191),
+                                 (5, 2, 16, 50, 25, 8191)])
+def test_icrt_fused_matches_scan(cfg):
     """The fused Pallas ICRT (ops/crt.icrt_to_raw_fused, TPU hot path) is
-    bit-identical to the scan version, in interpreter mode."""
+    bit-identical to the scan version, in interpreter mode (two prime
+    chains / word counts)."""
     import numpy as np
     import jax.numpy as jnp
 
@@ -142,7 +145,7 @@ def test_icrt_fused_matches_scan():
     from cuhe_tpu.ops import crt as crt_ops, modp
     from cuhe_tpu.params import make_params
 
-    pr = make_params(3, 2, 16, 50, 25, 8191)
+    pr = make_params(*cfg)
     pn = pr.num_crt_prime
     q, mi, bi = pr.icrt_consts(0)
     w = pr.words_coeff(0)
