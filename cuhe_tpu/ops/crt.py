@@ -139,8 +139,6 @@ def icrt_to_raw_fused(crt, primes_np, mus_np, bi_np, mi_words_np, m_words_np,
 
     def kernel(x_ref, o_ref):
         x = x_ref[...]                               # [1, pnum, cb]
-        zero = jnp.zeros(x.shape[:1] + (1,) + x.shape[2:], jnp.uint32)
-        zero = zero[:, 0]
         s = [jnp.zeros_like(x[:, 0]) for _ in range(words + 1)]
         m_bc = [jnp.full_like(s[0], jnp.uint32(mw)) for mw in m_ints]
         for i in range(pnum):

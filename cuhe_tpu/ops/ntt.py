@@ -335,21 +335,6 @@ def extract_digit(raw: jnp.ndarray, w: int, wid: int, w32: int) -> jnp.ndarray:
     return val & mask
 
 
-def extract_digit_dyn(raw: jnp.ndarray, w: int, wid, w32: int) -> jnp.ndarray:
-    """extract_digit with a *traced* window index (for lax.scan over digits)."""
-    bit = jnp.uint32(w) * wid.astype(jnp.uint32)
-    k = (bit >> jnp.uint32(5)).astype(jnp.int32)
-    sh = bit & jnp.uint32(31)
-    lo = jnp.take(raw, k, axis=-2)
-    hi = jnp.where(k + 1 < w32,
-                   jnp.take(raw, jnp.minimum(k + 1, w32 - 1), axis=-2),
-                   jnp.zeros_like(lo))
-    mask = jnp.uint32((1 << w) - 1) if w < 32 else jnp.uint32(0xFFFFFFFF)
-    val = (lo >> sh) | jnp.where(sh == 0, jnp.uint32(0),
-                                 hi << (jnp.uint32(32) - sh))
-    return val & mask
-
-
 def ntt_from_digit(raw: jnp.ndarray, w: int, wid: int, n: int):
     """Forward NTT of one relinearization digit straight from RAW words."""
     w32 = raw.shape[-2]

@@ -44,6 +44,7 @@ DFT-oracle-tested) in tests/test_ntt_kernels.py.
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -191,8 +192,11 @@ def _right_packed_np(d8: np.ndarray, p: int) -> np.ndarray:
 def _band_bound(la: int, k: int) -> int:
     """|T_t| <= min(la,8)*k*2^14; return the bound exponent for the combine."""
     v = min(la, 8) * k * (1 << 14)
-    b = v.bit_length()  # |T_t| <= 2^(b-1) < 2^b; need 2^bound > |T_t|
-    return min(max(b, 15), 27)
+    b = max(v.bit_length(), 15)  # |T_t| <= 2^(b-1) < 2^b
+    # combine_limb_sums_lazy requires bound <= 27; a factorization whose true
+    # bound exceeds it must fail loudly, not clamp into silent wrap-around
+    assert b <= 27, f"band bound 2^{b} exceeds the lazy-combine limit (la={la}, k={k})"
+    return b
 
 
 def _dot_left(wtabs, x_digits, m: int, k: int):
@@ -472,9 +476,20 @@ def intt_modcrt(x_pair, n: int, p, mu, *, layout: str = "mat",
 # the permutation is invisible except at fwd/inv edges — where it deletes
 # every transpose (VERDICT r1 item 4).
 
-import os as _os
-
+# Read once at import (same rationale as ntt.set_i8_path: Context caches
+# jitted transforms, so a later env flip would be silently ignored).  Use
+# set_v2_path() to change it explicitly BEFORE building new jits.
 _V2_TPU = _os.environ.get("CUHE_NTT_V2", "1") == "1"
+
+
+def set_v2_path(enabled: bool) -> None:
+    """Select the fused Pallas kernels (True) or the XLA four-step (False).
+
+    Takes effect for traces performed after the call; already-jitted
+    functions (e.g. a Context's cached transforms) keep their path.
+    """
+    global _V2_TPU
+    _V2_TPU = bool(enabled)
 
 
 def use_fused() -> bool:
