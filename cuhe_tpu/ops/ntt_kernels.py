@@ -119,8 +119,14 @@ def tables(n: int):
     # inverse: W2i[k2, t2], twi[k1, t2], W1i[t1, k1]
     w2i = pwi[(np.outer(j2, j2) % n2) * n1 % n]
     twi = pwi[np.outer(j1, j2) % n]
-    w1i = pwi[(np.outer(j1, j1) % n1) * n2 % n]
     ninv = hm.modinv(n, P)
+    # n^-1 folded into the last-stage matrix (the reference folds the same
+    # scale into its intt_3 epilogue constants, cuhe/Base.cu:489,656,841):
+    # Y = n^-1 (W1i @ B) = (n^-1 W1i) @ B, deleting the kernel's mul_modp
+    # epilogue — the inverse goes straight from the last lazy dot to the
+    # canonical subtract + per-transform mod-p reduce.
+    w1i_u = pwi[(np.outer(j1, j1) % n1) * n2 % n]
+    w1i = ((w1i_u.astype(object) * ninv) % P).astype(np.uint64)
 
     def left_tabs(w, la):
         d8 = modp.balanced_digits8_np(w)
@@ -139,8 +145,7 @@ def tables(n: int):
         "w2": right_tabs(w2, 8),       # {pack: [p*n2, (8+p-1)*n2] i8}
         "w2i": right_tabs(w2i, 8),
         "twi": pair(twi),              # [n1, n2] u32 x2
-        "w1i": left_tabs(w1i, 8),
-        "ninv": (ninv & 0xFFFFFFFF, ninv >> 32),
+        "w1i": left_tabs(w1i, 8),      # n^-1 pre-folded (see above)
     }
 
 
@@ -277,27 +282,32 @@ def _flatten_tabs(*tabdicts):
     return arrays, rebuild
 
 
-def _make_fwd_kernel(bt: int, n1: int, n2: int, rebuild):
-    n1h = n1 // 2
+def _fwd_body(x, w1_tabs, w2_tabs, tw, n1: int, n2: int):
+    """Shared forward pipeline: u32 [bt, n1h, n2] -> canonical pair
+    [bt, n1, n2] (mat layout).  tw: twiddle pair shaped [n1, 1, n2]."""
+    n1h = x.shape[1]
+    # m-first internal layout: one u32-plane transpose up front buys
+    # transpose-free (axis-0) digit stacking for the stage-1 dots
+    xt = jnp.swapaxes(x, 0, 1)                    # [n1h, bt, n2]
+    xd = modp.u32_to_digits5(xt)
+    # stage 1: packed left dots contracting j1 (axis 0) -> [n1, ...]
+    b = _dot_left(w1_tabs, xd, n1, n1h)           # lazy [n1, bt, n2]
+    c = modp.mul_modp(b, tw)                      # canonical
+    cd = modp.pair_to_digits8(c)
+    d = _dot_right(cd, w2_tabs, n2, n2)           # lazy [n1, bt, n2]
+    d = modp.canonicalize(d)
+    return jnp.swapaxes(d[0], 0, 1), jnp.swapaxes(d[1], 0, 1)
 
+
+def _make_fwd_kernel(bt: int, n1: int, n2: int, rebuild):
     def kernel(*refs):
         x_ref, twlo_ref, twhi_ref = refs[0], refs[1], refs[2]
         olo_ref, ohi_ref = refs[-2], refs[-1]
         w1_tabs, w2_tabs = rebuild(refs[3:-2])
         tw = (twlo_ref[...][:, None, :], twhi_ref[...][:, None, :])
-        x = x_ref[...]                                # [bt, n1h, n2] u32
-        # m-first internal layout: one u32-plane transpose up front buys
-        # transpose-free (axis-0) digit stacking for the stage-1 dots
-        xt = jnp.swapaxes(x, 0, 1)                    # [n1h, bt, n2]
-        xd = modp.u32_to_digits5(xt)
-        # stage 1: packed left dots contracting j1 (axis 0) -> [n1, ...]
-        b = _dot_left(w1_tabs, xd, n1, n1h)           # lazy [n1, bt, n2]
-        c = modp.mul_modp(b, tw)                      # canonical
-        cd = modp.pair_to_digits8(c)
-        d = _dot_right(cd, w2_tabs, n2, n2)           # lazy [n1, bt, n2]
-        d = modp.canonicalize(d)
-        olo_ref[...] = jnp.swapaxes(d[0], 0, 1)
-        ohi_ref[...] = jnp.swapaxes(d[1], 0, 1)
+        lo, hi = _fwd_body(x_ref[...], w1_tabs, w2_tabs, tw, n1, n2)
+        olo_ref[...] = lo
+        ohi_ref[...] = hi
 
     return kernel
 
@@ -364,10 +374,126 @@ def ntt_fwd(x, n: int, *, layout: str = "mat", bt: int | None = None,
 
 
 # ---------------------------------------------------------------------------
+# windowed-digit forward kernel (relinearization front end)
+# ---------------------------------------------------------------------------
+#
+# TPU analogue of ntt_1_*_ext_block (cuhe/Base.cu:345-385): the w-bit relin
+# digit is windowed out of the RAW multi-word coefficients INSIDE the kernel,
+# so the [chunk, batch, n/2] digit stack never exists in HBM.  The digit
+# index is the second grid dimension; its word offset / shift are computed
+# from pl.program_id at run time (the reference passes them as kernel
+# arguments per launch).
+
+def _make_fwd_digit_kernel(bt: int, n1: int, n2: int, w: int, off: int,
+                           rebuild):
+    mask = (1 << w) - 1 if w < 32 else 0xFFFFFFFF
+
+    def kernel(*refs):
+        x_ref, twlo_ref, twhi_ref = refs[0], refs[1], refs[2]
+        olo_ref, ohi_ref = refs[-2], refs[-1]
+        w1_tabs, w2_tabs = rebuild(refs[3:-2])
+        j = pl.program_id(1)
+        bit = jnp.uint32(off) + jnp.uint32(w) * j.astype(jnp.uint32)
+        k = (bit >> jnp.uint32(5)).astype(jnp.int32)
+        sh = bit & jnp.uint32(31)
+        x = x_ref[...]                                # [bt, span, n1h, n2]
+        lo_w = jax.lax.dynamic_index_in_dim(x, k, axis=1, keepdims=False)
+        hi_w = jax.lax.dynamic_index_in_dim(x, k + 1, axis=1, keepdims=False)
+        # (32 - sh) & 31 keeps the shift amount defined at sh == 0; the
+        # where() discards the hi contribution in that case
+        val = (lo_w >> sh) | jnp.where(
+            sh == jnp.uint32(0), jnp.uint32(0),
+            hi_w << ((jnp.uint32(32) - sh) & jnp.uint32(31)))
+        val = val & jnp.uint32(mask)                  # [bt, n1h, n2]
+        tw = (twlo_ref[...][:, None, :], twhi_ref[...][:, None, :])
+        lo, hi = _fwd_body(val, w1_tabs, w2_tabs, tw, n1, n2)
+        olo_ref[...] = lo[None]
+        ohi_ref[...] = hi[None]
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_digits_call(n: int, bt: int, c: int, w: int, off: int, span: int,
+                     interpret: bool):
+    t = tables(n)
+    n1, n2 = t["n1"], t["n2"]
+    n1h = n1 // 2
+    tab_arrays, rebuild = _flatten_tabs(t["w1"], t["w2"])
+    kernel = _make_fwd_digit_kernel(bt, n1, n2, w, off, rebuild)
+    tab_specs = [pl.BlockSpec(a.shape, lambda i, j: (0, 0))
+                 for a in tab_arrays]
+
+    @jax.jit
+    def call(x, twlo, twhi, *tabs):  # x: u32 [B, span, n/2], B % bt == 0
+        bsz = x.shape[0]
+        xm = x.reshape(bsz, span, n1h, n2)
+        out = pl.pallas_call(
+            kernel,
+            grid=(bsz // bt, c),       # digit innermost: raw block reused
+            in_specs=[
+                pl.BlockSpec((bt, span, n1h, n2), lambda i, j: (i, 0, 0, 0)),
+                pl.BlockSpec((n1, n2), lambda i, j: (0, 0)),
+                pl.BlockSpec((n1, n2), lambda i, j: (0, 0)),
+            ] + tab_specs,
+            out_specs=(pl.BlockSpec((1, bt, n1, n2),
+                                    lambda i, j: (j, i, 0, 0)),) * 2,
+            out_shape=(jax.ShapeDtypeStruct((c, bsz, n1, n2),
+                                            jnp.uint32),) * 2,
+            interpret=interpret,
+            **({} if interpret or _compiler_params() is None
+               else {"compiler_params": _compiler_params()}),
+        )(xm, twlo, twhi, *tabs)
+        return out
+
+    return call, tab_arrays
+
+
+def ntt_fwd_digits(raw, n: int, *, w: int, j0: int, c: int,
+                   bt: int | None = None, layout: str = "mat",
+                   interpret: bool = False):
+    """Fused windowed-digit forward NTTs of digits j0 .. j0+c-1.
+
+    raw: uint32 [..., w32, n/2] RAW word planes (little-endian).  Extracts
+    each w-bit digit in-kernel (ntt_1_*_ext_block semantics, matching
+    ops/ntt.extract_digit bit-for-bit) and runs the fused forward NTT.
+    Returns a uint32 pair [c, ..., n] (mat-linear or std order).
+    """
+    t = tables(n)
+    n1, n2 = t["n1"], t["n2"]
+    lead = raw.shape[:-2]
+    w32 = raw.shape[-2]
+    half = raw.shape[-1]
+    flat = raw.reshape((-1, w32, half))
+    b = flat.shape[0]
+    bt = bt or _DEFAULT_BT[n]
+    base = (w * j0) >> 5
+    off = (w * j0) & 31
+    span = ((off + w * c - 1) >> 5) + 2
+    end = base + span
+    if end <= w32:
+        xs = flat[:, base:end]
+    else:  # zero planes past the top word (extract_digit's k+1 >= w32 case)
+        xs = jnp.pad(flat[:, base:w32], ((0, 0), (0, end - w32), (0, 0)))
+    pad = (-b) % bt
+    if pad:
+        xs = jnp.pad(xs, ((0, pad), (0, 0), (0, 0)))
+    call, tab_np = _fwd_digits_call(n, bt, c, w, off, span, interpret)
+    lo, hi = call(xs, jnp.asarray(t["tw"][0]), jnp.asarray(t["tw"][1]),
+                  *[jnp.asarray(a) for a in tab_np])
+    lo, hi = lo[:, :b], hi[:, :b]
+    if layout == "std":
+        lo, hi = mat_to_std((lo, hi), n)
+        return (lo.reshape((c,) + lead + (n,)),
+                hi.reshape((c,) + lead + (n,)))
+    return (lo.reshape((c,) + lead + (n,)), hi.reshape((c,) + lead + (n,)))
+
+
+# ---------------------------------------------------------------------------
 # inverse kernel (+ modcrt epilogue)
 # ---------------------------------------------------------------------------
 
-def _make_inv_kernel(bt: int, n1: int, n2: int, ninv, rebuild):
+def _make_inv_kernel(bt: int, n1: int, n2: int, rebuild):
     def kernel(*refs):
         (xlo_ref, xhi_ref, p_ref, mulo_ref, muhi_ref,
          twlo_ref, twhi_ref) = refs[:7]
@@ -382,10 +508,10 @@ def _make_inv_kernel(bt: int, n1: int, n2: int, ninv, rebuild):
         tw = (twlo_ref[...][:, None, :], twhi_ref[...][:, None, :])
         b = modp.mul_modp(a, tw)                          # canonical
         bd = modp.pair_to_digits8(b)
-        y = _dot_left(w1i_tabs, bd, n1, n1)               # lazy [t1, bt, n2]
-        nv = (jnp.full_like(y[0], jnp.uint32(ninv[0])),
-              jnp.full_like(y[0], jnp.uint32(ninv[1])))
-        y = modp.mul_modp(y, nv)
+        # n^-1 is pre-folded into w1i_tabs: the lazy dot result only needs
+        # one canonical subtract before the per-transform mod-p reduce
+        y = modp.canonicalize(
+            _dot_left(w1i_tabs, bd, n1, n1))              # [t1, bt, n2]
         p = jnp.swapaxes(p_ref[...], 0, 1)                # [1, bt, 1]
         mu = (jnp.swapaxes(mulo_ref[...], 0, 1),
               jnp.swapaxes(muhi_ref[...], 0, 1))
@@ -399,7 +525,7 @@ def _inv_call(n: int, bt: int, interpret: bool):
     t = tables(n)
     n1, n2 = t["n1"], t["n2"]
     tab_arrays, rebuild = _flatten_tabs(t["w2i"], t["w1i"])
-    kernel = _make_inv_kernel(bt, n1, n2, t["ninv"], rebuild)
+    kernel = _make_inv_kernel(bt, n1, n2, rebuild)
     tab_specs = [pl.BlockSpec(a.shape, _const2) for a in tab_arrays]
 
     @jax.jit

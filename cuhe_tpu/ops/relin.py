@@ -65,10 +65,17 @@ def relinearize(raw: jnp.ndarray, ek_lo: jnp.ndarray, ek_hi: jnp.ndarray,
     acc = None
     for j0 in range(0, knum, chunk):
         c = min(chunk, knum - j0)
-        # windowed digits [c, ..., raw_len] (ntt_1_*_ext_block semantics)
-        digits = jnp.stack(
-            [ntt.extract_digit(raw, w, j, w32) for j in range(j0, j0 + c)])
-        dl, dh = nk.fwd_linear(digits, n, layout=layout)  # [c, ..., n]
+        if nk.use_fused():
+            # digit windowing fused into the forward kernel (round 3): the
+            # [c, ..., raw_len] digit stack never exists in HBM, matching
+            # the reference's in-kernel windowing (Base.cu:345-385)
+            dl, dh = nk.ntt_fwd_digits(raw, n, w=w, j0=j0, c=c,
+                                       layout=layout)
+        else:
+            # windowed digits [c, ..., raw_len] (ntt_1_*_ext_block semantics)
+            digits = jnp.stack(
+                [ntt.extract_digit(raw, w, j, w32) for j in range(j0, j0 + c)])
+            dl, dh = nk.fwd_linear(digits, n, layout=layout)  # [c, ..., n]
         ek_shape = (c,) + (1,) * nb + (pnum, n)
         el = ek_lo[j0:j0 + c, :pnum].reshape(ek_shape)
         eh = ek_hi[j0:j0 + c, :pnum].reshape(ek_shape)

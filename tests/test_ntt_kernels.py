@@ -86,6 +86,27 @@ def test_mat_std_permutes_inverse():
     np.testing.assert_array_equal(np.asarray(back[1]), np.asarray(mat[1]))
 
 
+@pytest.mark.parametrize("w,j0,c", [
+    (16, 0, 3),            # aligned windows (flagship relin width)
+    (20, 1, 4),            # windows crossing word boundaries
+    (13, 7, 3),            # top window's hi word spills past the last word
+])
+def test_fwd_digits_matches_unfused(w, j0, c):
+    """Fused in-kernel digit windowing == extract_digit + fwd, bit-exact."""
+    n = 16384
+    w32 = 4
+    rng = np.random.default_rng(w * 100 + j0)
+    raw = rng.integers(0, 1 << 32, size=(2, w32, n // 2),
+                       dtype=np.uint64).astype(np.uint32)
+    got = ntt_kernels.ntt_fwd_digits(jnp.asarray(raw), n, w=w, j0=j0, c=c,
+                                     bt=2, layout="std", interpret=True)
+    digits = jnp.stack([ntt.extract_digit(jnp.asarray(raw), w, j, w32)
+                        for j in range(j0, j0 + c)])
+    want = ntt.ntt_fwd_u32(digits, n)
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want[1]))
+
+
 def test_pair_to_digits8_exact():
     """8-digit balanced decomposition is exact mod P incl. capacity edges."""
     P = modp.P
