@@ -106,19 +106,24 @@ def main():
         + ("" if USE_FORI else " (dispatch-timed fallback)"))
 
     # ---- implementations under test -------------------------------------
+    # Iteration adapter: the next input is the previous input XOR one scalar
+    # read from the output.  This keeps a data dependency between iterations
+    # (XLA cannot hoist the transform out of the loop) at ~zero adapter cost
+    # -- the closest JAX-legal analogue of the reference's timing loop,
+    # which re-launches the kernels on the SAME buffers with no glue at all
+    # (tests/test_ntt.cu:73-97).  (Round-2's adapter XORed the two full
+    # output planes and sliced, costing ~0.5 us/transform at 32k -- charged
+    # to the kernel unfairly.)
     def make_one(n, impl):
-        half = n // 2
-
         def one(carry):
             if impl == "fused":  # shipped hot path: v2 Pallas, mat layout
                 lo, hi = nk.ntt_fwd(carry, n, layout="mat")
-                lo = lo.reshape(carry.shape[0], n)
-                hi = hi.reshape(carry.shape[0], n)
             elif impl == "fused_std":
                 lo, hi = nk.ntt_fwd(carry, n, layout="std")
             else:  # xla four-step (std order)
                 lo, hi = ntt.ntt_fwd_batched(carry, n, chunk=8)
-            return lo[..., :half] ^ hi[..., :half]
+            s = lo.ravel()[0] ^ hi.ravel()[0]
+            return carry ^ s
 
         return one
 
@@ -208,6 +213,74 @@ def main():
     lo_t, hi_t = time_ntt(n0, 512, 128, headline_impl)
     results["ntt16k_remeasure"] = {512: lo_t / 512 * 1e3}
     log(f"ntt 16k headline re-measure: {lo_t/512*1e6:.2f} us")
+
+    # --- on-TPU bit-exactness gates for the remaining timed kernels --------
+    # The forward oracle above covers ntt_fwd; the gate pipeline also runs
+    # the Mosaic-compiled intt_modcrt, icrt_to_raw_fused and ntt_fwd_digits.
+    # Check each on-device against the XLA path before timing (the
+    # reference gates the exact kernels it times, tests/test_ntt.cu:38-64).
+    if on_tpu:
+        from cuhe_tpu.ops import crt as crt_ops
+
+        for n in (16384, 32768, 65536):
+            b = 6
+            x64 = rng.integers(0, hm.P, size=(b, n), dtype=np.uint64)
+            lo = jnp.asarray((x64 & 0xFFFFFFFF).astype(np.uint32))
+            hi = jnp.asarray((x64 >> 32).astype(np.uint32))
+            pv = np.array([4294967291, 3, 65537, 7681, 0xFFF1, 12289],
+                          np.uint32)[:b]
+            mus = np.array([modp.barrett_mu(int(q)) for q in pv], np.uint64)
+            mu = (jnp.asarray(mus[:, 0].astype(np.uint32)),
+                  jnp.asarray(mus[:, 1].astype(np.uint32)))
+            want = jax.jit(lambda v, p_, m0, m1: ntt.intt_modcrt(
+                v, n, p_[:, None], (m0[:, None], m1[:, None])))(
+                    (lo, hi), jnp.asarray(pv), mu[0], mu[1])
+            got = nk.intt_modcrt(nk.std_to_mat((lo, hi), n), n,
+                                 jnp.asarray(pv), mu, layout="mat")
+            assert (np.asarray(got) == np.asarray(want)).all(), \
+                f"intt_modcrt {n} on-TPU mismatch -- bench aborted"
+            log(f"intt_modcrt {n}: on-TPU oracle ok")
+
+        # fused ICRT vs the scan path (cuhe/Base.cu:880-924 contract), on
+        # the gate-benchmark parameter set's real prime chain
+        from cuhe_tpu.params import make_params
+        pr = make_params(3, 2, 16, 50, 25, 8191)
+        pn = pr.num_crt_prime
+        primes = np.array(pr.crt_primes, np.uint32)
+        mus_np = np.array([modp.barrett_mu(int(q)) for q in primes],
+                          np.uint64)
+        mus2 = (mus_np[:, 0].astype(np.uint32), mus_np[:, 1].astype(np.uint32))
+        q, mi, bi = pr.icrt_consts(0)
+        words = pr.words_coeff(0)
+        m_words = hm.ints_to_words([q], words)[:, 0]
+        mi_words = np.stack([hm.ints_to_words([v], words)[:, 0] for v in mi])
+        bi = np.array(bi, np.uint32)
+        cr = jnp.asarray(np.stack([
+            rng.integers(0, int(p), size=4096, dtype=np.uint64).astype(
+                np.uint32) for p in primes]))
+        want = jax.jit(lambda c: crt_ops.icrt_to_raw(
+            c, jnp.asarray(primes),
+            (jnp.asarray(mus2[0]), jnp.asarray(mus2[1])), jnp.asarray(bi),
+            jnp.asarray(mi_words), jnp.asarray(m_words)))(cr)
+        got = crt_ops.icrt_to_raw_fused(cr, primes, mus2,
+                                        bi, mi_words, m_words)
+        assert (np.asarray(got) == np.asarray(want)).all(), \
+            "icrt_to_raw_fused on-TPU mismatch -- bench aborted"
+        log("icrt_to_raw_fused: on-TPU oracle ok")
+
+        # fused digit-windowed forward NTT vs extract_digit + XLA forward
+        n = 16384
+        w32, wdig = 4, 20
+        raw = jnp.asarray(rng.integers(0, 1 << 32, size=(2, w32, n // 2),
+                                       dtype=np.uint64).astype(np.uint32))
+        got = nk.ntt_fwd_digits(raw, n, w=wdig, j0=1, c=3, layout="std")
+        digits = jnp.stack([ntt.extract_digit(raw, wdig, j, w32)
+                            for j in range(1, 4)])
+        want = jax.jit(lambda d: ntt.ntt_fwd_batched(d, n, chunk=8))(digits)
+        assert (np.asarray(got[0]) == np.asarray(want[0])).all() and \
+               (np.asarray(got[1]) == np.asarray(want[1])).all(), \
+            "ntt_fwd_digits on-TPU mismatch -- bench aborted"
+        log("ntt_fwd_digits: on-TPU oracle ok")
 
     # --- fused gate pipeline (AND + relin + modswitch) ---------------------
     gate = None

@@ -69,14 +69,20 @@ _DEFAULT_BT = {16384: 8, 32768: 16, 65536: 8}
 _DEFAULT_BT_INV = {16384: 8, 32768: 8, 65536: 4}
 
 
-def _compiler_params():
+def _compiler_params(grid_dims: int = 1):
     """Raise Mosaic's scoped-VMEM limit (default 16M): the inverse kernel's
-    live set (two digit stacks + 15 band-dot planes) peaks above it."""
+    live set (two digit stacks + 15 band-dot planes) peaks above it.
+    CUHE_DIM_SEM=parallel|arbitrary annotates grid dimension semantics
+    (read at trace time; used by the perf probes)."""
     if pltpu is None:
         return None
     mb = int(_os.environ.get("CUHE_VMEM_LIMIT_MB", "64"))
+    kw = {"vmem_limit_bytes": mb * 1024 * 1024}
+    sem = _os.environ.get("CUHE_DIM_SEM", "")
+    if sem:
+        kw["dimension_semantics"] = (sem,) * grid_dims
     try:
-        return pltpu.CompilerParams(vmem_limit_bytes=mb * 1024 * 1024)
+        return pltpu.CompilerParams(**kw)
     except Exception:  # pragma: no cover - older pallas versions
         return None
 
@@ -396,9 +402,10 @@ def _make_fwd_digit_kernel(bt: int, n1: int, n2: int, w: int, off: int,
         bit = jnp.uint32(off) + jnp.uint32(w) * j.astype(jnp.uint32)
         k = (bit >> jnp.uint32(5)).astype(jnp.int32)
         sh = bit & jnp.uint32(31)
-        x = x_ref[...]                                # [bt, span, n1h, n2]
-        lo_w = jax.lax.dynamic_index_in_dim(x, k, axis=1, keepdims=False)
-        hi_w = jax.lax.dynamic_index_in_dim(x, k + 1, axis=1, keepdims=False)
+        # dynamic word-plane selection must go through ref indexing (pl.ds):
+        # value-level dynamic_slice has no Mosaic lowering
+        lo_w = x_ref[:, pl.ds(k, 1)][:, 0]            # [bt, n1h, n2]
+        hi_w = x_ref[:, pl.ds(k + 1, 1)][:, 0]
         # (32 - sh) & 31 keeps the shift amount defined at sh == 0; the
         # where() discards the hi contribution in that case
         val = (lo_w >> sh) | jnp.where(
@@ -441,8 +448,8 @@ def _fwd_digits_call(n: int, bt: int, c: int, w: int, off: int, span: int,
             out_shape=(jax.ShapeDtypeStruct((c, bsz, n1, n2),
                                             jnp.uint32),) * 2,
             interpret=interpret,
-            **({} if interpret or _compiler_params() is None
-               else {"compiler_params": _compiler_params()}),
+            **({} if interpret or _compiler_params(2) is None
+               else {"compiler_params": _compiler_params(2)}),
         )(xm, twlo, twhi, *tabs)
         return out
 

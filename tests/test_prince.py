@@ -71,7 +71,10 @@ def test_rc_bits_reference_row():
 
 @pytest.mark.skipif(not os.environ.get("CUHE_RUN_SLOW"),
                     reason="set CUHE_RUN_SLOW=1 for the homomorphic round test")
-def test_prince_round0_known_answer():
+def test_prince_rounds_0_2_known_answer():
+    """Rounds 0-2 of the published PRINCE trace on the real parameter set
+    (Prince.cu:108-147); each extra S-box layer reuses the cached jits, so
+    the marginal cost over the old round-0-only test is minutes."""
     p = pr.Prince(seed=3)
 
     seen = {}
@@ -80,8 +83,9 @@ def test_prince_round0_known_answer():
         bits = p.decrypt_state(state, lvl)
         seen[rd] = "".join(str(b) for b in bits)
 
-    p.encrypt_blocks([0] * 64, [1] * 64, [0] * 64, max_rounds=1, check=check)
-    assert seen[0] == pr.Prince.EXPECTED_ROUNDS[0]
+    p.encrypt_blocks([0] * 64, [1] * 64, [0] * 64, max_rounds=3, check=check)
+    for rd in (0, 1, 2):
+        assert seen[rd] == pr.Prince.EXPECTED_ROUNDS[rd], f"round {rd}"
 
 
 @pytest.mark.skipif(not os.environ.get("CUHE_RUN_SLOW"),
