@@ -297,7 +297,11 @@ def main():
             # [b, pnum, n] uint32 input to keep the chain going
             o = jnp.concatenate([o, o[:, :1]], axis=1)      # pnum planes
             return jnp.concatenate([o, o], axis=-1)         # length n
-        K = 64  # amortize the ~25 ms per-call tunnel round trip
+        # amortize the ~25 ms per-call tunnel round trip: at K=64 the floor
+        # is still ~0.2 ms/ciphertext (measured by the r3 stage-attribution
+        # probe); K=256 brings it under 0.05 -- the reference's cudaEvent
+        # timing excludes host overhead entirely (tests/test_ntt.cu:67-100)
+        K = 256
         if USE_FORI:
             g = jax.jit(lambda a: lax.fori_loop(0, K, body, a))
             np.asarray(g(args[0])[0, 0, :1])

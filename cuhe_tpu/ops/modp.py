@@ -219,11 +219,16 @@ def mod_u32(x, p, mu):
 
     Returns uint32 array.  Classic Barrett: q = mulhi64(x, mu); r = x - q*p;
     r in [0, 3p) then two conditional subtracts.
+
+    p/mu may be scalars or arrays broadcastable against x; all intermediate
+    ops broadcast lazily (no ones_like materialization — inside Pallas
+    kernels the eager broadcast multiplies measured ~9x the useful work of
+    this function, r3 inverse-ablation probe).
     """
     p = u32(p)
-    mu_lo, mu_hi = mu
-    _, _, q_lo, q_hi = mul64(x, (u32(mu_lo) * jnp.ones_like(x[0]),
-                                 u32(mu_hi) * jnp.ones_like(x[0])))
+    # mu stays small-shaped; the 16-bit splits inside mul64/mul32 run on the
+    # tiny arrays and only the actual products broadcast against x
+    _, _, q_lo, q_hi = mul64(x, (u32(mu[0]), u32(mu[1])))
     # low 64 bits of q * p  (p is 32-bit)
     l_lo, l_hi = mul32(q_lo, p)
     m_lo, _ = mul32(q_hi, p)
@@ -232,8 +237,9 @@ def mod_u32(x, p, mu):
     # r < 3p < 2^34: up to two subtractions of p
     for _ in range(2):
         ge = (r[1] > 0) | (r[0] >= p)
-        d, _ = sub64(r, (p * jnp.ones_like(r[0]), jnp.uint32(0)))
-        r = _sel(ge, d, r)
+        lo2 = r[0] - p
+        hi2 = r[1] - (r[0] < p).astype(jnp.uint32)
+        r = (jnp.where(ge, lo2, r[0]), jnp.where(ge, hi2, r[1]))
     return r[0]
 
 

@@ -497,6 +497,131 @@ def ntt_fwd_digits(raw, n: int, *, w: int, j0: int, c: int,
 
 
 # ---------------------------------------------------------------------------
+# fully-fused relinearization kernel: digit windowing + forward NTT +
+# eval-key contraction in one pallas_call
+# ---------------------------------------------------------------------------
+#
+# TPU analogue of the reference's relinMulAddPerCrt accumulation
+# (cuhe/Base.cu:1024-1033) fused behind ntt_1_*_ext_block: for each digit j
+# (inner grid dim) the kernel windows the digit out of RAW words, runs the
+# forward NTT, multiplies by that digit's eval-key planes and accumulates
+#     dst[b, p, :] += ntt(digit_j(raw_b)) * ek[j, p]
+# into the revisited output block — the digit NTT pair never exists in HBM.
+
+def _make_relin_kernel(bt: int, n1: int, n2: int, w: int, off: int, rebuild):
+    mask = (1 << w) - 1 if w < 32 else 0xFFFFFFFF
+
+    def kernel(*refs):
+        (x_ref, twlo_ref, twhi_ref, eklo_ref, ekhi_ref) = refs[:5]
+        olo_ref, ohi_ref = refs[-2], refs[-1]
+        w1_tabs, w2_tabs = rebuild(refs[5:-2])
+        j = pl.program_id(1)
+        bit = jnp.uint32(off) + jnp.uint32(w) * j.astype(jnp.uint32)
+        k = (bit >> jnp.uint32(5)).astype(jnp.int32)
+        sh = bit & jnp.uint32(31)
+        lo_w = x_ref[:, pl.ds(k, 1)][:, 0]            # [bt, n1h, n2]
+        hi_w = x_ref[:, pl.ds(k + 1, 1)][:, 0]
+        val = (lo_w >> sh) | jnp.where(
+            sh == jnp.uint32(0), jnp.uint32(0),
+            hi_w << ((jnp.uint32(32) - sh) & jnp.uint32(31)))
+        val = val & jnp.uint32(mask)
+        tw = (twlo_ref[...][:, None, :], twhi_ref[...][:, None, :])
+        lo, hi = _fwd_body(val, w1_tabs, w2_tabs, tw, n1, n2)  # [bt, n1, n2]
+        ek = (eklo_ref[...], ekhi_ref[...])           # [1, pnum, n1, n2]
+        prod = modp.mul_modp((lo[:, None], hi[:, None]), ek)
+
+        @pl.when(j == 0)
+        def _init():
+            olo_ref[...] = prod[0]
+            ohi_ref[...] = prod[1]
+
+        @pl.when(j != 0)
+        def _acc():
+            acc = modp.add_modp((olo_ref[...], ohi_ref[...]), prod)
+            olo_ref[...] = acc[0]
+            ohi_ref[...] = acc[1]
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _relin_call(n: int, bt: int, c: int, w: int, off: int, span: int,
+                pnum: int, interpret: bool):
+    t = tables(n)
+    n1, n2 = t["n1"], t["n2"]
+    n1h = n1 // 2
+    tab_arrays, rebuild = _flatten_tabs(t["w1"], t["w2"])
+    kernel = _make_relin_kernel(bt, n1, n2, w, off, rebuild)
+    tab_specs = [pl.BlockSpec(a.shape, lambda i, j: (0, 0))
+                 for a in tab_arrays]
+
+    @jax.jit
+    def call(x, twlo, twhi, ek_lo, ek_hi, *tabs):
+        # x: u32 [B, span, n/2] (B % bt == 0); ek: [c, pnum, n1, n2]
+        bsz = x.shape[0]
+        xm = x.reshape(bsz, span, n1h, n2)
+        ekm = (ek_lo.reshape(c, pnum, n1, n2), ek_hi.reshape(c, pnum, n1, n2))
+        out = pl.pallas_call(
+            kernel,
+            grid=(bsz // bt, c),      # digit innermost: output revisited
+            in_specs=[
+                pl.BlockSpec((bt, span, n1h, n2), lambda i, j: (i, 0, 0, 0)),
+                pl.BlockSpec((n1, n2), lambda i, j: (0, 0)),
+                pl.BlockSpec((n1, n2), lambda i, j: (0, 0)),
+                pl.BlockSpec((1, pnum, n1, n2), lambda i, j: (j, 0, 0, 0)),
+                pl.BlockSpec((1, pnum, n1, n2), lambda i, j: (j, 0, 0, 0)),
+            ] + tab_specs,
+            out_specs=(pl.BlockSpec((bt, pnum, n1, n2),
+                                    lambda i, j: (i, 0, 0, 0)),) * 2,
+            out_shape=(jax.ShapeDtypeStruct((bsz, pnum, n1, n2),
+                                            jnp.uint32),) * 2,
+            interpret=interpret,
+            **({} if interpret or _compiler_params(2) is None
+               else {"compiler_params": _compiler_params(2)}),
+        )(xm, twlo, twhi, ekm[0], ekm[1], *tabs)
+        return out
+
+    return call, tab_arrays
+
+
+def relin_digits_mulacc(raw, ek_pair, n: int, *, w: int, j0: int, c: int,
+                        pnum: int, bt: int | None = None,
+                        interpret: bool = False):
+    """sum_j ntt(digit_{j0+j}(raw)) * ek[j0+j] as ONE fused kernel.
+
+    raw: uint32 [..., w32, n/2]; ek_pair: uint32 pair [knum, pnum_max, n]
+    in mat-linear order.  Returns a mat-linear pair [..., pnum, n].
+    """
+    t = tables(n)
+    n1, n2 = t["n1"], t["n2"]
+    lead = raw.shape[:-2]
+    w32 = raw.shape[-2]
+    half = raw.shape[-1]
+    flat = raw.reshape((-1, w32, half))
+    b = flat.shape[0]
+    bt = bt or _DEFAULT_BT[n]
+    bt = min(bt, max(1, b))
+    base = (w * j0) >> 5
+    off = (w * j0) & 31
+    span = ((off + w * c - 1) >> 5) + 2
+    end = base + span
+    if end <= w32:
+        xs = flat[:, base:end]
+    else:
+        xs = jnp.pad(flat[:, base:w32], ((0, 0), (0, end - w32), (0, 0)))
+    pad = (-b) % bt
+    if pad:
+        xs = jnp.pad(xs, ((0, pad), (0, 0), (0, 0)))
+    ek_lo = ek_pair[0][j0:j0 + c, :pnum]
+    ek_hi = ek_pair[1][j0:j0 + c, :pnum]
+    call, tab_np = _relin_call(n, bt, c, w, off, span, pnum, interpret)
+    lo, hi = call(xs, jnp.asarray(t["tw"][0]), jnp.asarray(t["tw"][1]),
+                  ek_lo, ek_hi, *[jnp.asarray(a) for a in tab_np])
+    return (lo[:b].reshape(lead + (pnum, n)),
+            hi[:b].reshape(lead + (pnum, n)))
+
+
+# ---------------------------------------------------------------------------
 # inverse kernel (+ modcrt epilogue)
 # ---------------------------------------------------------------------------
 

@@ -65,21 +65,34 @@ def relinearize(raw: jnp.ndarray, ek_lo: jnp.ndarray, ek_hi: jnp.ndarray,
     acc = None
     for j0 in range(0, knum, chunk):
         c = min(chunk, knum - j0)
-        if nk.use_fused():
-            # digit windowing fused into the forward kernel (round 3): the
-            # [c, ..., raw_len] digit stack never exists in HBM, matching
-            # the reference's in-kernel windowing (Base.cu:345-385)
+        if nk.use_fused() and layout == "mat":
+            # fully fused (round 3): digit windowing + forward NTT +
+            # eval-key contraction in one kernel — neither the digit stack
+            # nor the digit-NTT pairs exist in HBM.  Matches the
+            # reference's ntt_1_*_ext_block + relinMulAddPerCrt pipeline
+            # (Base.cu:345-385, 1024-1033).  (The kernel produces mat
+            # order, so it requires mat-linear eval keys.)
+            part = nk.relin_digits_mulacc(raw, (ek_lo, ek_hi), n, w=w,
+                                          j0=j0, c=c, pnum=pnum)
+        elif nk.use_fused():
             dl, dh = nk.ntt_fwd_digits(raw, n, w=w, j0=j0, c=c,
                                        layout=layout)
+            ek_shape = (c,) + (1,) * nb + (pnum, n)
+            el = ek_lo[j0:j0 + c, :pnum].reshape(ek_shape)
+            eh = ek_hi[j0:j0 + c, :pnum].reshape(ek_shape)
+            prod = modp.mul_modp((dl[..., None, :], dh[..., None, :]),
+                                 (el, eh))
+            part = _tree_sum_modp(prod, axis=0)
         else:
             # windowed digits [c, ..., raw_len] (ntt_1_*_ext_block semantics)
             digits = jnp.stack(
                 [ntt.extract_digit(raw, w, j, w32) for j in range(j0, j0 + c)])
             dl, dh = nk.fwd_linear(digits, n, layout=layout)  # [c, ..., n]
-        ek_shape = (c,) + (1,) * nb + (pnum, n)
-        el = ek_lo[j0:j0 + c, :pnum].reshape(ek_shape)
-        eh = ek_hi[j0:j0 + c, :pnum].reshape(ek_shape)
-        prod = modp.mul_modp((dl[..., None, :], dh[..., None, :]), (el, eh))
-        part = _tree_sum_modp(prod, axis=0)  # [..., pnum, n]
+            ek_shape = (c,) + (1,) * nb + (pnum, n)
+            el = ek_lo[j0:j0 + c, :pnum].reshape(ek_shape)
+            eh = ek_hi[j0:j0 + c, :pnum].reshape(ek_shape)
+            prod = modp.mul_modp((dl[..., None, :], dh[..., None, :]),
+                                 (el, eh))
+            part = _tree_sum_modp(prod, axis=0)  # [..., pnum, n]
         acc = part if acc is None else modp.add_modp(acc, part)
     return acc

@@ -107,6 +107,38 @@ def test_fwd_digits_matches_unfused(w, j0, c):
     np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want[1]))
 
 
+def test_relin_mulacc_matches_unfused():
+    """Fused digit-NTT + eval-key contraction == unfused composition."""
+    n = 16384
+    w, w32, knum, pnum = 16, 4, 5, 3
+    rng = np.random.default_rng(11)
+    raw = rng.integers(0, 1 << 32, size=(2, w32, n // 2),
+                       dtype=np.uint64).astype(np.uint32)
+    ek_lo = rng.integers(0, 1 << 32, size=(knum, pnum, n),
+                         dtype=np.uint64).astype(np.uint32)
+    ek_hi = rng.integers(0, 0xFFFFFFFF, size=(knum, pnum, n),
+                         dtype=np.uint64).astype(np.uint32)
+    got = ntt_kernels.relin_digits_mulacc(
+        jnp.asarray(raw), (jnp.asarray(ek_lo), jnp.asarray(ek_hi)), n,
+        w=w, j0=1, c=3, pnum=pnum, bt=2, interpret=True)
+    # unfused: extract digits 1..3, std-order NTT -> mat order, mul, sum
+    digits = jnp.stack([ntt.extract_digit(jnp.asarray(raw), w, j, w32)
+                        for j in range(1, 4)])
+    dl, dh = ntt.ntt_fwd_u32(digits, n)                # [3, 2, n] std
+    dl, dh = ntt_kernels.std_to_mat((dl, dh), n)
+    dl = dl.reshape(3, 2, n)
+    dh = dh.reshape(3, 2, n)
+    el = jnp.asarray(ek_lo[1:4, :pnum]).reshape(3, 1, pnum, n)
+    eh = jnp.asarray(ek_hi[1:4, :pnum]).reshape(3, 1, pnum, n)
+    prod = modp.mul_modp((dl[:, :, None, :], dh[:, :, None, :]), (el, eh))
+    want = prod
+    acc = (want[0][0], want[1][0])
+    for j in (1, 2):
+        acc = modp.add_modp(acc, (want[0][j], want[1][j]))
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(acc[0]))
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(acc[1]))
+
+
 def test_pair_to_digits8_exact():
     """8-digit balanced decomposition is exact mod P incl. capacity edges."""
     P = modp.P
