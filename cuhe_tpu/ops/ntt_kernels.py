@@ -584,6 +584,30 @@ def _relin_call(n: int, bt: int, c: int, w: int, off: int, span: int,
     return call, tab_arrays
 
 
+def relin_fused_fit(n: int, pnum: int, bt: int | None = None) -> int | None:
+    """VMEM-fit check for relin_digits_mulacc: returns a workable bt or None.
+
+    The kernel's revisited output block is [bt, pnum, n1, n2] u32 x2 and the
+    per-digit eval-key window is [1, pnum, n1, n2] u32 x2 (double-buffered),
+    so the footprint scales with pnum*n — fine at the gate config
+    (pnum=4, 16k ring) but 25 primes on the 32k ring needs ~400 MB at
+    bt=16 against the chip's 128 MB VMEM.  Shrink bt looking for a fit,
+    but not below 8: the per-digit eval-key window is re-fetched once per
+    batch block, so small bt multiplies that HBM traffic (B/bt * knum *
+    pnum*n*8 bytes — gigabytes per relin at the Prince config) and the
+    batched ntt_fwd_digits path (pnum-independent windows) wins instead.
+    """
+    budget = int(_os.environ.get("CUHE_RELIN_VMEM_MB", "72")) << 20
+    bt = bt or _DEFAULT_BT[n]
+    while bt >= 8:
+        out_bytes = 2 * 2 * bt * pnum * n * 4          # 2 planes, 2 buffers
+        ek_bytes = 2 * 2 * pnum * n * 4
+        if out_bytes + ek_bytes <= budget:
+            return bt
+        bt //= 2
+    return None
+
+
 def relin_digits_mulacc(raw, ek_pair, n: int, *, w: int, j0: int, c: int,
                         pnum: int, bt: int | None = None,
                         interpret: bool = False):

@@ -62,10 +62,11 @@ def relinearize(raw: jnp.ndarray, ek_lo: jnp.ndarray, ek_hi: jnp.ndarray,
     nb = len(batch)
     chunk = knum if not digit_chunk else min(digit_chunk, knum)
 
+    fused_bt = nk.relin_fused_fit(n, pnum) if nk.use_fused() else None
     acc = None
     for j0 in range(0, knum, chunk):
         c = min(chunk, knum - j0)
-        if nk.use_fused() and layout == "mat":
+        if fused_bt is not None and layout == "mat":
             # fully fused (round 3): digit windowing + forward NTT +
             # eval-key contraction in one kernel — neither the digit stack
             # nor the digit-NTT pairs exist in HBM.  Matches the
@@ -73,7 +74,8 @@ def relinearize(raw: jnp.ndarray, ek_lo: jnp.ndarray, ek_hi: jnp.ndarray,
             # (Base.cu:345-385, 1024-1033).  (The kernel produces mat
             # order, so it requires mat-linear eval keys.)
             part = nk.relin_digits_mulacc(raw, (ek_lo, ek_hi), n, w=w,
-                                          j0=j0, c=c, pnum=pnum)
+                                          j0=j0, c=c, pnum=pnum,
+                                          bt=fused_bt)
         elif nk.use_fused():
             dl, dh = nk.ntt_fwd_digits(raw, n, w=w, j0=j0, c=c,
                                        layout=layout)

@@ -157,3 +157,14 @@ def test_pair_to_digits8_exact():
     tot = sum(d.astype(object) * (256 ** i) for i, d in enumerate(ds))
     assert all((int(t) - int(v)) % P == 0
                for v, t in zip(vs.astype(object), tot))
+
+
+def test_relin_fused_fit_vmem_guard():
+    """The fully-fused relin kernel must not be selected for configs whose
+    revisited output block ([bt, pnum, n1, n2] u32 x2) cannot fit VMEM —
+    the Prince config (25 primes, 32k ring) OOMed at 636M/128M before the
+    guard (r3).  The gate-benchmark config must keep the fused path."""
+    assert ntt_kernels.relin_fused_fit(16384, 4) == 8          # gate config: fused
+    assert ntt_kernels.relin_fused_fit(32768, 25) is None      # Prince depth-25: fall back
+    # mid-size config fits at bt=8
+    assert ntt_kernels.relin_fused_fit(16384, 12) == 8
