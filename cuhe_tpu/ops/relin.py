@@ -20,6 +20,7 @@ Design changes vs the reference:
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from . import modp, ntt
 from . import ntt_kernels as nk
@@ -46,9 +47,24 @@ def _tree_sum_modp(pair, axis: int = 0):
     return (jnp.squeeze(lo, axis=axis), jnp.squeeze(hi, axis=axis))
 
 
+def _auto_digit_chunk(batch_elems: int, pnum: int, n: int, knum: int) -> int:
+    """Digit-chunk size bounding the unfused contraction's peak memory.
+
+    The unfused paths materialize a [chunk, batch, pnum, n] mod-P product
+    (plus several XLA temporaries of the same size) before the tree sum;
+    at the Prince scale (batch 32, 25 primes, 32k ring) chunk=16 peaks
+    above 23 GB and OOMs the chip's 15.75 GB HBM (r3 KAT run).  Cap the
+    chunk so ~6 such temporaries stay under ~1.5 GB; small configs keep
+    chunk=16 (one fused batched NTT per chunk amortizes best).
+    """
+    per_digit = batch_elems * pnum * n * 8          # one [.., pnum, n] pair
+    budget = (3 << 29) // 6                          # ~1.5 GB / 6 temporaries
+    return max(1, min(16, budget // max(per_digit, 1), knum))
+
+
 def relinearize(raw: jnp.ndarray, ek_lo: jnp.ndarray, ek_hi: jnp.ndarray,
                 *, w: int, knum: int, pnum: int, n: int,
-                layout: str = "mat", digit_chunk: int = 16):
+                layout: str = "mat", digit_chunk: int | None = None):
     """raw: uint32 [..., w32, raw_len] RAW ciphertext words (level lvl).
 
     ek_lo/ek_hi: uint32 [num_eval_key, pnum_max, n] eval keys in NTT domain
@@ -60,9 +76,19 @@ def relinearize(raw: jnp.ndarray, ek_lo: jnp.ndarray, ek_hi: jnp.ndarray,
     w32 = raw.shape[-2]
     batch = raw.shape[:-2]
     nb = len(batch)
-    chunk = knum if not digit_chunk else min(digit_chunk, knum)
-
     fused_bt = nk.relin_fused_fit(n, pnum) if nk.use_fused() else None
+    if digit_chunk is None:
+        # the fused kernel never materializes the [c, .., pnum, n] product,
+        # so its chunk is just the inner grid extent; the unfused paths
+        # must bound it (see _auto_digit_chunk)
+        b_elems = int(np.prod(batch, dtype=np.int64)) if batch else 1
+        chunk = (16 if fused_bt is not None
+                 else _auto_digit_chunk(b_elems, pnum, n, knum))
+    elif digit_chunk == 0:
+        chunk = knum
+    else:
+        chunk = min(digit_chunk, knum)
+    chunk = min(chunk, knum)
     acc = None
     for j0 in range(0, knum, chunk):
         c = min(chunk, knum - j0)
