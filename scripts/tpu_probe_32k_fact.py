@@ -90,7 +90,18 @@ def main():
     mu = (jnp.asarray(np.full(B, mu0, np.uint32)),
           jnp.asarray(np.full(B, mu1, np.uint32)))
 
-    for n1, n2 in ((128, 256), (256, 128)):
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--facts", default="128x256,256x128")
+    ap.add_argument("--fwd-bts", default="8,16,32")
+    ap.add_argument("--inv-bts", default="4,8,16")
+    args = ap.parse_args()
+    facts = [tuple(int(v) for v in f.split("x"))
+             for f in args.facts.split(",")]
+    fwd_bts = [int(v) for v in args.fwd_bts.split(",") if v]
+    inv_bts = [int(v) for v in args.inv_bts.split(",") if v]
+
+    for n1, n2 in facts:
         set_factors(n1, n2)
         log(f"=== factorization ({n1},{n2}) ===")
         try:
@@ -98,7 +109,7 @@ def main():
         except AssertionError as e:
             log(f"  GATE FAILED: {e}; skipping")
             continue
-        for bt in (8, 16, 32):
+        for bt in fwd_bts:
             def fwd_step(c, bt=bt):
                 lo, hi = nk.ntt_fwd(c, N, layout="mat", bt=bt)
                 return c ^ (lo.ravel()[0] ^ hi.ravel()[0])
@@ -109,7 +120,7 @@ def main():
                 log(f"  fwd bt={bt} FAILED: {type(e).__name__}: {str(e)[:120]}")
         # inverse: input pair in mat layout
         lo, hi = nk.ntt_fwd(x, N, layout="mat")
-        for bt in (4, 8, 16):
+        for bt in inv_bts:
             def inv_step(c, bt=bt):
                 out = nk.intt_modcrt((c, hi), N, pv, mu, layout="mat", bt=bt)
                 return c.at[0, 0, 0].set(c[0, 0, 0] ^ out[0, 0])
