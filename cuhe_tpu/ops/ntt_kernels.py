@@ -61,7 +61,11 @@ from . import modp
 
 P = hm.P
 
-_FACTORS = {16384: (128, 128), 32768: (128, 256), 65536: (256, 256)}
+# 32k uses (256,128), not (128,256): ~486M vs ~642M int8 MACs/transform
+# (both stages contract 128 at pack=2 -> full 256 systolic depth) and rows
+# stay one native lane tile; measured 8.39 vs 9.13 us/transform at b512
+# bt=16 (scripts/tpu_probe_32k_fact.py, r3).  bt=32 exceeds VMEM.
+_FACTORS = {16384: (128, 128), 32768: (256, 128), 65536: (256, 256)}
 
 # transforms per grid step (VMEM-bounded; bt=8 measured fastest for the
 # forward kernel at 16k/64k, 16 at 32k; the 64k inverse only fits at bt=4)

@@ -95,6 +95,10 @@ def main():
     ap.add_argument("--facts", default="128x256,256x128")
     ap.add_argument("--fwd-bts", default="8,16,32")
     ap.add_argument("--inv-bts", default="4,8,16")
+    ap.add_argument("--skip-gate", action="store_true",
+                    help="skip the on-device XLA-oracle gate (use when "
+                         "bit-exactness was already established in "
+                         "interpret mode; saves ~10 min of fresh compiles)")
     args = ap.parse_args()
     facts = [tuple(int(v) for v in f.split("x"))
              for f in args.facts.split(",")]
@@ -104,11 +108,12 @@ def main():
     for n1, n2 in facts:
         set_factors(n1, n2)
         log(f"=== factorization ({n1},{n2}) ===")
-        try:
-            gate(rng)
-        except AssertionError as e:
-            log(f"  GATE FAILED: {e}; skipping")
-            continue
+        if not args.skip_gate:
+            try:
+                gate(rng)
+            except AssertionError as e:
+                log(f"  GATE FAILED: {e}; skipping")
+                continue
         for bt in fwd_bts:
             def fwd_step(c, bt=bt):
                 lo, hi = nk.ntt_fwd(c, N, layout="mat", bt=bt)
