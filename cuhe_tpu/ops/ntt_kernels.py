@@ -601,12 +601,27 @@ def relin_fused_fit(n: int, pnum: int, bt: int | None = None) -> int | None:
     pnum*n*8 bytes — gigabytes per relin at the Prince config) and the
     batched ntt_fwd_digits path (pnum-independent windows) wins instead.
     """
-    budget = int(_os.environ.get("CUHE_RELIN_VMEM_MB", "72")) << 20
+    # Derive the budget from the SAME scoped-VMEM limit the kernel is
+    # compiled with (_compiler_params / CUHE_VMEM_LIMIT_MB, default 64 MB),
+    # minus a margin for the twiddle/digit tables (~2 MB at 64k) — a fit
+    # estimate above the compile limit would pass here and then fail in
+    # Mosaic at runtime instead of falling back (advisor r3, medium).
+    # CUHE_RELIN_VMEM_MB still overrides for experiments.
+    env = _os.environ.get("CUHE_RELIN_VMEM_MB")
+    if env is not None:
+        budget = int(env) << 20
+    else:
+        limit_mb = int(_os.environ.get("CUHE_VMEM_LIMIT_MB", "64"))
+        budget = (limit_mb << 20) - (4 << 20)
     bt = bt or _DEFAULT_BT[n]
+    # double-buffered input block [bt, span, n1/2, n2] u32; span for a
+    # 16-digit chunk at w<=16 is <= 10 raw words
+    span_est = 10
     while bt >= 8:
         out_bytes = 2 * 2 * bt * pnum * n * 4          # 2 planes, 2 buffers
         ek_bytes = 2 * 2 * pnum * n * 4
-        if out_bytes + ek_bytes <= budget:
+        in_bytes = 2 * bt * span_est * (n // 2) * 4
+        if out_bytes + ek_bytes + in_bytes <= budget:
             return bt
         bt //= 2
     return None

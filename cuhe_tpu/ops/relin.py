@@ -77,12 +77,18 @@ def relinearize(raw: jnp.ndarray, ek_lo: jnp.ndarray, ek_hi: jnp.ndarray,
     batch = raw.shape[:-2]
     nb = len(batch)
     fused_bt = nk.relin_fused_fit(n, pnum) if nk.use_fused() else None
+    # the fused branch below additionally requires mat layout; the chunk
+    # decision must use the SAME predicate or a non-mat layout with a
+    # fitting fused config would pick chunk=16 while running the unfused
+    # path — re-creating the [16, batch, pnum, n] HBM blowup
+    # _auto_digit_chunk exists to prevent (advisor r3, medium).
+    fused_active = fused_bt is not None and layout == "mat"
     if digit_chunk is None:
         # the fused kernel never materializes the [c, .., pnum, n] product,
         # so its chunk is just the inner grid extent; the unfused paths
         # must bound it (see _auto_digit_chunk)
         b_elems = int(np.prod(batch, dtype=np.int64)) if batch else 1
-        chunk = (16 if fused_bt is not None
+        chunk = (16 if fused_active
                  else _auto_digit_chunk(b_elems, pnum, n, knum))
     elif digit_chunk == 0:
         chunk = knum
@@ -92,7 +98,7 @@ def relinearize(raw: jnp.ndarray, ek_lo: jnp.ndarray, ek_hi: jnp.ndarray,
     acc = None
     for j0 in range(0, knum, chunk):
         c = min(chunk, knum - j0)
-        if fused_bt is not None and layout == "mat":
+        if fused_active:
             # fully fused (round 3): digit windowing + forward NTT +
             # eval-key contraction in one kernel — neither the digit stack
             # nor the digit-NTT pairs exist in HBM.  Matches the

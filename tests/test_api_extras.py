@@ -87,3 +87,50 @@ def test_ctxt_checkpoint_roundtrip(ctx, rng, tmp_path):
         back = ckpt.load_ctxt(path)
         assert back.level == ct.level and back.domain == ct.domain
         assert poly.to_ints(ctx, back) == a
+
+def test_ctxt_checkpoint_rejects_factorization_mismatch(ctx, rng, tmp_path):
+    """A checkpoint written under a different NTT factorization (e.g. the
+    r3 32k (128,256)->(256,128) switch) must refuse to load rather than
+    decrypt to garbage (advisor r3)."""
+    import numpy as np_
+    pr = ctx.params
+    q = pr.coeff_modulus(0)
+    a = _rand_poly(rng, pr.mod_len, q)
+    ct = poly.to_ntt(ctx, poly.ctxt_from_ints(a, 0))
+    path = str(tmp_path / "ct.npz")
+    ckpt.save_ctxt(path, ct)
+    z = dict(np_.load(path))
+    assert int(z["format_version"]) == ckpt.FORMAT_VERSION
+    # tamper: pretend it was written with a different factorization
+    good = z["ntt_factorization"].copy()
+    z["ntt_factorization"] = np_.asarray([good[0] // 2, good[1] * 2])
+    np_.savez_compressed(path, **z)
+    with pytest.raises(ValueError, match="factorization"):
+        ckpt.load_ctxt(path)
+    # unversioned (pre-r4) NTT-domain checkpoints are also refused
+    z.pop("format_version")
+    z["ntt_factorization"] = good
+    np_.savez_compressed(path, **z)
+    with pytest.raises(ValueError, match="unversioned"):
+        ckpt.load_ctxt(path)
+
+
+def test_state_checkpoint_roundtrip_versioned(tmp_path):
+    import numpy as np_
+    from cuhe_tpu.ops import ntt_kernels as nk
+    st = np_.arange(24, dtype=np_.uint32).reshape(2, 3, 4)
+    path = str(tmp_path / "st.npz")
+    ckpt.save_state(path, st, 3, done=1)
+    back, lvl = ckpt.load_state(path)
+    assert lvl == 3 and np_.array_equal(np_.asarray(back), st)
+    # NTT-domain states validate their factorization tag
+    n = 16384
+    path2 = str(tmp_path / "st2.npz")
+    ckpt.save_state(path2, st, 3, ntt_len=n)
+    back2, _ = ckpt.load_state(path2, ntt_len=n)
+    assert np_.array_equal(np_.asarray(back2), st)
+    z = dict(np_.load(path2))
+    z["ntt_factorization"] = np_.asarray([64, 256])
+    np_.savez_compressed(path2, **z)
+    with pytest.raises(ValueError, match="factorization"):
+        ckpt.load_state(path2, ntt_len=n)
