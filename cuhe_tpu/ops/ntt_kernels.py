@@ -665,6 +665,192 @@ def relin_digits_mulacc(raw, ek_pair, n: int, *, w: int, j0: int, c: int,
 
 
 # ---------------------------------------------------------------------------
+# pnum-chunked fused relinearization kernel (Prince-scale configs)
+# ---------------------------------------------------------------------------
+#
+# The single-pass kernel above keeps the whole [bt, pnum, n1, n2] output
+# block resident, which stops fitting VMEM around pnum*n ~ 25*32k (the
+# Prince config, examples/Prince/Prince.cu:47).  This variant adds a grid
+# dimension over chunks of `pc` CRT planes:
+#
+#     grid = (batch_blocks, pnum_chunks, digits)       [digit innermost]
+#
+# The output block shrinks to [bt, pc, n1, n2] (revisited/accumulated
+# across the innermost digit dimension, flushed per pnum chunk), and the
+# digit NTTs — which do not depend on the pnum chunk — are computed ONCE
+# per batch block into a persistent VMEM scratch [c, bt, n1, n2] at
+# pchunk 0 and re-read for the remaining chunks.  Eval-key traffic stays
+# at one [pc, n] window fetch per (batch block, pnum chunk, digit), the
+# same total bytes as the single-pass kernel.  Reference equivalents:
+# ntt_1_32k_ext_block + relinMulAddPerCrt (cuhe/Base.cu:520-557,
+# 1024-1033) behind Relinearization.cu:76-88.
+
+def _make_relin_p_kernel(bt: int, n1: int, n2: int, w: int, off: int,
+                         rebuild):
+    mask = (1 << w) - 1 if w < 32 else 0xFFFFFFFF
+
+    def kernel(*refs):
+        (x_ref, twlo_ref, twhi_ref, eklo_ref, ekhi_ref) = refs[:5]
+        olo_ref, ohi_ref, slo_ref, shi_ref = refs[-4:]
+        w1_tabs, w2_tabs = rebuild(refs[5:-4])
+        k = pl.program_id(1)
+        j = pl.program_id(2)
+
+        @pl.when(k == 0)
+        def _ntt():
+            bit = jnp.uint32(off) + jnp.uint32(w) * j.astype(jnp.uint32)
+            kw = (bit >> jnp.uint32(5)).astype(jnp.int32)
+            sh = bit & jnp.uint32(31)
+            lo_w = x_ref[:, pl.ds(kw, 1)][:, 0]        # [bt, n1h, n2]
+            hi_w = x_ref[:, pl.ds(kw + 1, 1)][:, 0]
+            val = (lo_w >> sh) | jnp.where(
+                sh == jnp.uint32(0), jnp.uint32(0),
+                hi_w << ((jnp.uint32(32) - sh) & jnp.uint32(31)))
+            val = val & jnp.uint32(mask)
+            tw = (twlo_ref[...][:, None, :], twhi_ref[...][:, None, :])
+            lo, hi = _fwd_body(val, w1_tabs, w2_tabs, tw, n1, n2)
+            slo_ref[pl.ds(j, 1)] = lo[None]
+            shi_ref[pl.ds(j, 1)] = hi[None]
+
+        ntl = slo_ref[pl.ds(j, 1)][0]                  # [bt, n1, n2]
+        nth = shi_ref[pl.ds(j, 1)][0]
+        ek = (eklo_ref[...], ekhi_ref[...])            # [1, pc, n1, n2]
+        prod = modp.mul_modp((ntl[:, None], nth[:, None]), ek)
+
+        @pl.when(j == 0)
+        def _init():
+            olo_ref[...] = prod[0]
+            ohi_ref[...] = prod[1]
+
+        @pl.when(j != 0)
+        def _acc():
+            acc = modp.add_modp((olo_ref[...], ohi_ref[...]), prod)
+            olo_ref[...] = acc[0]
+            ohi_ref[...] = acc[1]
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _relin_p_call(n: int, bt: int, c: int, w: int, off: int, span: int,
+                  pc: int, interpret: bool):
+    t = tables(n)
+    n1, n2 = t["n1"], t["n2"]
+    n1h = n1 // 2
+    tab_arrays, rebuild = _flatten_tabs(t["w1"], t["w2"])
+    kernel = _make_relin_p_kernel(bt, n1, n2, w, off, rebuild)
+    tab_specs = [pl.BlockSpec(a.shape, lambda i, k, j: (0, 0))
+                 for a in tab_arrays]
+
+    @jax.jit
+    def call(x, twlo, twhi, ek_lo, ek_hi, *tabs):
+        # x: u32 [B, span, n/2] (B % bt == 0); ek: [c, pnumP, n1*n2]
+        bsz = x.shape[0]
+        pnum_p = ek_lo.shape[1]
+        npc = pnum_p // pc
+        xm = x.reshape(bsz, span, n1h, n2)
+        ekm = (ek_lo.reshape(c, pnum_p, n1, n2),
+               ek_hi.reshape(c, pnum_p, n1, n2))
+        out = pl.pallas_call(
+            kernel,
+            grid=(bsz // bt, npc, c),
+            in_specs=[
+                pl.BlockSpec((bt, span, n1h, n2),
+                             lambda i, k, j: (i, 0, 0, 0)),
+                pl.BlockSpec((n1, n2), lambda i, k, j: (0, 0)),
+                pl.BlockSpec((n1, n2), lambda i, k, j: (0, 0)),
+                pl.BlockSpec((1, pc, n1, n2), lambda i, k, j: (j, k, 0, 0)),
+                pl.BlockSpec((1, pc, n1, n2), lambda i, k, j: (j, k, 0, 0)),
+            ] + tab_specs,
+            out_specs=(pl.BlockSpec((bt, pc, n1, n2),
+                                    lambda i, k, j: (i, k, 0, 0)),) * 2,
+            out_shape=(jax.ShapeDtypeStruct((bsz, pnum_p, n1, n2),
+                                            jnp.uint32),) * 2,
+            scratch_shapes=[pltpu.VMEM((c, bt, n1, n2), jnp.uint32)] * 2,
+            interpret=interpret,
+            **({} if interpret or _compiler_params(3) is None
+               else {"compiler_params": _compiler_params(3)}),
+        )(xm, twlo, twhi, ekm[0], ekm[1], *tabs)
+        return out
+
+    return call, tab_arrays
+
+
+def relin_fused_fit_p(n: int, pnum: int, w: int = 16):
+    """VMEM fit for the pnum-chunked relin kernel: {bt, pc, c} or None.
+
+    Searches (bt, c, pc) with pc descending — scratch re-read traffic is
+    B*npc*c*n*8 bytes, so the largest fitting pnum chunk wins; bt=8 before
+    4 because eval-key traffic scales with B/bt.  The budget derives from
+    the same scoped-VMEM limit the kernel compiles with minus a margin for
+    the _fwd_body live set (digit stacks + band-dot planes, which scale
+    with bt) and the twiddle/digit tables.
+    """
+    if pltpu is None:
+        return None
+    env = _os.environ.get("CUHE_RELIN_P_VMEM_MB")
+    limit_mb = (int(env) if env is not None
+                else int(_os.environ.get("CUHE_VMEM_LIMIT_MB", "64")))
+    for bt in (8, 4):
+        margin = (3 * bt + 6) << 20        # fwd-body temps + tables
+        budget = (limit_mb << 20) - margin
+        for c in (8, 4):
+            span = ((w * c - 1) >> 5) + 2
+            scratch = 2 * c * bt * n * 4
+            xin = 2 * bt * span * (n // 2) * 4
+            for pc in (8, 6, 5, 4, 3, 2, 1):
+                if pc > pnum:
+                    continue
+                out_b = 2 * 2 * bt * pc * n * 4    # 2 planes, 2 buffers
+                ek_b = 2 * 2 * pc * n * 4
+                if scratch + xin + out_b + ek_b <= budget:
+                    return {"bt": bt, "pc": pc, "c": c}
+    return None
+
+
+def relin_digits_mulacc_p(raw, ek_pair, n: int, *, w: int, j0: int, c: int,
+                          pnum: int, pc: int, bt: int,
+                          interpret: bool = False):
+    """Pnum-chunked sum_j ntt(digit_{j0+j}(raw)) * ek[j0+j], one kernel.
+
+    Same contract as relin_digits_mulacc (mat-linear eval keys / output)
+    but with the output block chunked over `pc` CRT planes so the kernel
+    fits VMEM at Prince-scale configs (pnum=25, 32k ring).  pnum is
+    zero-padded up to a multiple of pc (zero eval keys contribute zero)
+    and the pad is sliced off the result.
+    """
+    t = tables(n)
+    lead = raw.shape[:-2]
+    w32 = raw.shape[-2]
+    half = raw.shape[-1]
+    flat = raw.reshape((-1, w32, half))
+    b = flat.shape[0]
+    bt = min(bt, max(1, b))
+    base = (w * j0) >> 5
+    off = (w * j0) & 31
+    span = ((off + w * c - 1) >> 5) + 2
+    end = base + span
+    if end <= w32:
+        xs = flat[:, base:end]
+    else:
+        xs = jnp.pad(flat[:, base:w32], ((0, 0), (0, end - w32), (0, 0)))
+    pad = (-b) % bt
+    if pad:
+        xs = jnp.pad(xs, ((0, pad), (0, 0), (0, 0)))
+    pnum_p = -(-pnum // pc) * pc
+    ek_lo = ek_pair[0][j0:j0 + c, :pnum]
+    ek_hi = ek_pair[1][j0:j0 + c, :pnum]
+    if pnum_p != pnum:
+        ek_lo = jnp.pad(ek_lo, ((0, 0), (0, pnum_p - pnum), (0, 0)))
+        ek_hi = jnp.pad(ek_hi, ((0, 0), (0, pnum_p - pnum), (0, 0)))
+    call, tab_np = _relin_p_call(n, bt, c, w, off, span, pc, interpret)
+    lo, hi = call(xs, jnp.asarray(t["tw"][0]), jnp.asarray(t["tw"][1]),
+                  ek_lo, ek_hi, *[jnp.asarray(a) for a in tab_np])
+    return (lo[:b, :pnum].reshape(lead + (pnum, n)),
+            hi[:b, :pnum].reshape(lead + (pnum, n)))
+
+
+# ---------------------------------------------------------------------------
 # inverse kernel (+ modcrt epilogue)
 # ---------------------------------------------------------------------------
 

@@ -19,6 +19,8 @@ Design changes vs the reference:
 
 from __future__ import annotations
 
+import os as _os
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -83,13 +85,25 @@ def relinearize(raw: jnp.ndarray, ek_lo: jnp.ndarray, ek_hi: jnp.ndarray,
     # path — re-creating the [16, batch, pnum, n] HBM blowup
     # _auto_digit_chunk exists to prevent (advisor r3, medium).
     fused_active = fused_bt is not None and layout == "mat"
+    # Prince-scale fallback (round 4): when the single-pass fused kernel
+    # does not fit (pnum*n too large for a VMEM-resident output block),
+    # use the pnum-chunked kernel instead of the slow batched/unfused
+    # paths — it keeps digit windowing + NTT + contraction in one
+    # pallas_call per digit chunk, so per-level jit graphs stay small
+    # (the r3 KAT's ~7-10 min/level compiles came from the unfused path
+    # unrolling ~18 NTT subgraphs per level).
+    fit_p = None
+    if (not fused_active and layout == "mat" and nk.use_fused()
+            and _os.environ.get("CUHE_RELIN_P", "1") == "1"):
+        fit_p = nk.relin_fused_fit_p(n, pnum, w)
     if digit_chunk is None:
-        # the fused kernel never materializes the [c, .., pnum, n] product,
-        # so its chunk is just the inner grid extent; the unfused paths
+        # the fused kernels never materialize the [c, .., pnum, n] product,
+        # so their chunk is just the inner grid extent; the unfused paths
         # must bound it (see _auto_digit_chunk)
         b_elems = int(np.prod(batch, dtype=np.int64)) if batch else 1
-        chunk = (16 if fused_active
-                 else _auto_digit_chunk(b_elems, pnum, n, knum))
+        chunk = (16 if fused_active else
+                 fit_p["c"] if fit_p is not None else
+                 _auto_digit_chunk(b_elems, pnum, n, knum))
     elif digit_chunk == 0:
         chunk = knum
     else:
@@ -108,6 +122,10 @@ def relinearize(raw: jnp.ndarray, ek_lo: jnp.ndarray, ek_hi: jnp.ndarray,
             part = nk.relin_digits_mulacc(raw, (ek_lo, ek_hi), n, w=w,
                                           j0=j0, c=c, pnum=pnum,
                                           bt=fused_bt)
+        elif fit_p is not None:
+            part = nk.relin_digits_mulacc_p(raw, (ek_lo, ek_hi), n, w=w,
+                                            j0=j0, c=c, pnum=pnum,
+                                            pc=fit_p["pc"], bt=fit_p["bt"])
         elif nk.use_fused():
             dl, dh = nk.ntt_fwd_digits(raw, n, w=w, j0=j0, c=c,
                                        layout=layout)

@@ -168,3 +168,83 @@ def test_relin_fused_fit_vmem_guard():
     assert ntt_kernels.relin_fused_fit(32768, 25) is None      # Prince depth-25: fall back
     # mid-size config fits at bt=8
     assert ntt_kernels.relin_fused_fit(16384, 12) == 8
+
+@pytest.mark.parametrize("pnum,pc,c,j0", [
+    (3, 2, 3, 1),          # pnum padded to 4 (zero-ek planes sliced off)
+    (5, 2, 4, 0),          # multiple pnum chunks + padding
+    (4, 4, 2, 2),          # single chunk degenerates to the one-pass shape
+])
+def test_relin_mulacc_p_matches_unfused(pnum, pc, c, j0):
+    """Pnum-chunked fused relin (VMEM-scratch digit NTT reuse) == unfused
+    composition, bit-exact — the Prince-scale kernel (VERDICT r3 item 1)."""
+    n = 16384
+    w, w32 = 16, 4
+    rng = np.random.default_rng(pnum * 37 + pc)
+    raw = rng.integers(0, 1 << 32, size=(2, w32, n // 2),
+                       dtype=np.uint64).astype(np.uint32)
+    ek_lo = rng.integers(0, 1 << 32, size=(j0 + c, pnum, n),
+                         dtype=np.uint64).astype(np.uint32)
+    ek_hi = rng.integers(0, 0xFFFFFFFF, size=(j0 + c, pnum, n),
+                         dtype=np.uint64).astype(np.uint32)
+    got = ntt_kernels.relin_digits_mulacc_p(
+        jnp.asarray(raw), (jnp.asarray(ek_lo), jnp.asarray(ek_hi)), n,
+        w=w, j0=j0, c=c, pnum=pnum, pc=pc, bt=2, interpret=True)
+    digits = jnp.stack([ntt.extract_digit(jnp.asarray(raw), w, j, w32)
+                        for j in range(j0, j0 + c)])
+    dl, dh = ntt.ntt_fwd_u32(digits, n)                # [c, 2, n] std
+    dl, dh = ntt_kernels.std_to_mat((dl, dh), n)
+    dl = dl.reshape(c, 2, n)
+    dh = dh.reshape(c, 2, n)
+    el = jnp.asarray(ek_lo[j0:j0 + c]).reshape(c, 1, pnum, n)
+    eh = jnp.asarray(ek_hi[j0:j0 + c]).reshape(c, 1, pnum, n)
+    prod = modp.mul_modp((dl[:, :, None, :], dh[:, :, None, :]), (el, eh))
+    acc = (prod[0][0], prod[1][0])
+    for j in range(1, c):
+        acc = modp.add_modp(acc, (prod[0][j], prod[1][j]))
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(acc[0]))
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(acc[1]))
+
+
+def test_relin_fused_fit_p_prince_config():
+    """The pnum-chunked kernel must offer a fit at the Prince config the
+    single-pass kernel rejects, with VMEM-sane parameters."""
+    fit = ntt_kernels.relin_fused_fit_p(32768, 25, 16)
+    assert fit is not None
+    assert fit["bt"] >= 4 and fit["pc"] >= 1 and fit["c"] >= 4
+    # gate config should also fit (though the single-pass kernel wins there)
+    assert ntt_kernels.relin_fused_fit_p(16384, 4, 16) is not None
+
+def test_relinearize_selects_pnum_chunked_path(monkeypatch):
+    """relinearize routes through the pnum-chunked kernel (interpret) when
+    the single-pass fused kernel does not fit, matching the plain path."""
+    from cuhe_tpu.ops import relin as relin_mod
+
+    n, w, w32, knum, pnum = 16384, 16, 4, 5, 3
+    rng = np.random.default_rng(99)
+    raw = jnp.asarray(rng.integers(0, 1 << 32, size=(2, w32, n // 2),
+                                   dtype=np.uint64).astype(np.uint32))
+    ek_lo = jnp.asarray(rng.integers(0, 1 << 32, size=(knum, pnum, n),
+                                     dtype=np.uint64).astype(np.uint32))
+    ek_hi = jnp.asarray(rng.integers(0, 0xFFFFFFFF, size=(knum, pnum, n),
+                                     dtype=np.uint64).astype(np.uint32))
+    want = relin_mod.relinearize(raw, ek_lo, ek_hi, w=w, knum=knum,
+                                 pnum=pnum, n=n, layout="mat")
+    calls = []
+    orig = ntt_kernels.relin_digits_mulacc_p
+
+    def spy(*a, **kw):
+        kw["interpret"] = True           # CPU backend: interpret the kernel
+        calls.append(kw)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(ntt_kernels, "use_fused", lambda: True)
+    monkeypatch.setattr(ntt_kernels, "relin_fused_fit",
+                        lambda *a, **k: None)
+    monkeypatch.setattr(ntt_kernels, "relin_fused_fit_p",
+                        lambda *a, **k: {"bt": 2, "pc": 2, "c": 4})
+    monkeypatch.setattr(ntt_kernels, "relin_digits_mulacc_p", spy)
+    got = relin_mod.relinearize(raw, ek_lo, ek_hi, w=w, knum=knum,
+                                pnum=pnum, n=n, layout="mat")
+    assert calls, "pnum-chunked path was not selected"
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want[1]))
