@@ -23,6 +23,32 @@ from .params import Params, make_params
 from .serialize import Picklable, PicklableMap
 
 
+def _phase_timer(label: str):
+    """Setup-phase wall-clock reporting (CUHE_SETUP_TIMING=0 silences).
+
+    Returns a continuation: ``t = _phase_timer("a"); ...; t = t("b")``
+    prints the time since the previous mark under the previous label.
+    VERDICT r3 item 6: setup time regressions must be visible.
+    """
+    import os
+    import sys
+    import time
+
+    quiet = os.environ.get("CUHE_SETUP_TIMING", "1") == "0"
+    t0 = time.time()
+
+    def mark(next_label: str):
+        nonlocal t0, label
+        if not quiet:
+            print(f"  setup[{label}]: {time.time() - t0:.1f}s",
+                  file=sys.stderr, flush=True)
+        t0 = time.time()
+        label = next_label
+        return mark
+
+    return mark
+
+
 class Batcher:
     """Plaintext SIMD packing over the GF(2) factors of m(x).
 
@@ -145,12 +171,16 @@ class CuDHS:
             self._init_from_keys(key_string)
             return
         self.params = make_params(d, p, w, min_, cut, m)
+        t = _phase_timer("context")
         self.ctx = context or Context(self.params)
+        t = t("key_gen")
         self.poly_mod = list(self.params.poly_mod)
         self.coeff_mod = [self.params.coeff_modulus(l)
                           for l in range(self.params.depth)]
         self.key_gen()
+        t = t("batcher")
         self._setup_batcher()
+        t("")
 
     # ------------------------------------------------------------------
     def _setup_batcher(self):
@@ -223,6 +253,7 @@ class CuDHS:
         self.pk = [None] * pr.depth
         self.sk = [None] * pr.depth
         self.ek = None
+        t = _phase_timer("keygen.f_inverse")
         # genPkSk (DHS.cu:306-339)
         while True:
             ft = self.sample()
@@ -232,26 +263,33 @@ class CuDHS:
             f_inv = self._find_inverse(f)
             if f_inv is not None:
                 break
+        t = t("keygen.pk_mul")
         g = self._reduce(self.sample(), 0)
         self.sk[0] = f
         pk0 = poly.poly_mul_ints(self.ctx, g, f_inv, 0)
         pk0 = [c * pr.mod_msg for c in pk0]
         self.pk[0] = self._reduce(pk0, 0)
         self.sk[0] = self._reduce(self.sk[0], 0)
+        t = t("keygen.level_reduce")
         for i in range(1, pr.depth):
             self.sk[i] = self._reduce(self.sk[i - 1], i)
             self.pk[i] = self._reduce(self.pk[i - 1], i)
+        t = t("keygen.gen_ek")
         if pr.log_relin > 0:
             self._gen_ek()
+        t("")
 
     def _gen_ek(self):
         """genEk (DHS.cu:340-362): ek_i = pk0*s + p*e + 2^(w i)*sk."""
         pr = self.params
         q0 = self.coeff_mod[0]
         nk = pr.num_eval_key
+        t = _phase_timer("gen_ek.sample")
         ss = [self._reduce(self.sample(), 0) for _ in range(nk)]
         es = [self.sample() for _ in range(nk)]
+        t = t("gen_ek.pk_mul_many")
         prods = poly.poly_mul_one_to_many(self.ctx, self.pk[0], ss, 0)
+        t = t("gen_ek.combine")
         self.ek = []
         for i in range(nk):
             tw = 1 << (pr.log_relin * i)
@@ -259,7 +297,9 @@ class CuDHS:
             eki = [(a + b * pr.mod_msg + c) % q0
                    for a, b, c in zip(prods[i], es[i], tp)]
             self.ek.append(eki)
+        t = t("gen_ek.init_relin")
         self.init_relinearization()
+        t("")
 
     def init_relinearization(self):
         """initRelin (Relinearization.cu:43-73): eval keys -> NTT domain,

@@ -365,11 +365,23 @@ class Prince:
         return layer
 
     def sbox_layer(self, state, inverse: bool = False):
+        import os
+        import sys
+        import time
+
         key = (self.level, inverse)
-        if key not in self._layer_cache:
+        fresh = key not in self._layer_cache
+        if fresh:
             self._layer_cache[key] = jax.jit(
                 self._build_sbox_layer(self.level, inverse))
+        t0 = time.time()
         out = self._layer_cache[key](state, self.table_args())
+        if os.environ.get("CUHE_PRINCE_TIMING", "1") != "0":
+            # dispatch is async; this brackets trace+compile (synchronous,
+            # the dominant cost per VERDICT r3) plus dispatch
+            print(f"  sbox_layer lvl={self.level} inverse={inverse} "
+                  f"{'trace+compile+dispatch' if fresh else 'dispatch'}: "
+                  f"{time.time() - t0:.1f}s", file=sys.stderr, flush=True)
         self.level += 2
         return out
 
