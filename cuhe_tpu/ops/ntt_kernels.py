@@ -73,17 +73,19 @@ _DEFAULT_BT = {16384: 8, 32768: 16, 65536: 8}
 _DEFAULT_BT_INV = {16384: 8, 32768: 8, 65536: 4}
 
 
-def _compiler_params(grid_dims: int = 1):
+def _compiler_params(grid_dims: int = 1, force_arbitrary: bool = False):
     """Raise Mosaic's scoped-VMEM limit (default 16M): the inverse kernel's
     live set (two digit stacks + 15 band-dot planes) peaks above it.
     CUHE_DIM_SEM=parallel|arbitrary annotates grid dimension semantics
-    (read at trace time; used by the perf probes)."""
+    (read at trace time; used by the perf probes).  force_arbitrary ignores
+    the env knob — kernels that accumulate across grid steps (revisited
+    output blocks / persistent scratch) must stay sequential."""
     if pltpu is None:
         return None
     mb = int(_os.environ.get("CUHE_VMEM_LIMIT_MB", "64"))
     kw = {"vmem_limit_bytes": mb * 1024 * 1024}
     sem = _os.environ.get("CUHE_DIM_SEM", "")
-    if sem:
+    if sem and not force_arbitrary:
         kw["dimension_semantics"] = (sem,) * grid_dims
     try:
         return pltpu.CompilerParams(**kw)
@@ -580,8 +582,8 @@ def _relin_call(n: int, bt: int, c: int, w: int, off: int, span: int,
             out_shape=(jax.ShapeDtypeStruct((bsz, pnum, n1, n2),
                                             jnp.uint32),) * 2,
             interpret=interpret,
-            **({} if interpret or _compiler_params(2) is None
-               else {"compiler_params": _compiler_params(2)}),
+            **({} if interpret or _compiler_params(2, True) is None
+               else {"compiler_params": _compiler_params(2, True)}),
         )(xm, twlo, twhi, ekm[0], ekm[1], *tabs)
         return out
 
@@ -768,8 +770,8 @@ def _relin_p_call(n: int, bt: int, c: int, w: int, off: int, span: int,
                                             jnp.uint32),) * 2,
             scratch_shapes=[pltpu.VMEM((c, bt, n1, n2), jnp.uint32)] * 2,
             interpret=interpret,
-            **({} if interpret or _compiler_params(3) is None
-               else {"compiler_params": _compiler_params(3)}),
+            **({} if interpret or _compiler_params(3, True) is None
+               else {"compiler_params": _compiler_params(3, True)}),
         )(xm, twlo, twhi, ekm[0], ekm[1], *tabs)
         return out
 

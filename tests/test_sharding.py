@@ -169,3 +169,50 @@ def test_sharded_step_matches_single_device(small_ctx):
         got = fstep(*dev_args)
         assert len(got.sharding.device_set) == 8
         np.testing.assert_array_equal(np.asarray(got), want)
+
+
+@pytest.mark.skipif(not SLOW, reason="Prince-scale GSPMD compile; CUHE_RUN_SLOW=1")
+def test_sharded_sbox_layer_prince_scale():
+    """One full S-box layer at the Prince config (pnum=25, 32k ring,
+    Prince.cu:47) under a (2,4) mesh == the unsharded layer, bit-exact.
+
+    VERDICT r3 item 8: round 3's two OOM regressions were only visible at
+    this scale, so multi-chip correctness must be validated here too.  The
+    crt axis does not divide pnum=25; GSPMD's padded sharding handles the
+    ragged split (the explicit-psum shard_map path, which requires
+    divisibility, is covered by test_sharded_step_matches_single_device).
+    Keys/state are random — this checks sharded == unsharded execution of
+    the real layer computation, not the KAT (tests/test_prince.py does
+    that single-device)."""
+    from types import SimpleNamespace
+
+    from cuhe_tpu.models import prince as pr_mod
+
+    params = make_params(25, 2, 16, 25, 25, 21845)
+    ctx = Context(params)
+    rng = np.random.default_rng(12)
+    knum = params.num_eval_key
+    pn = params.num_crt_prime
+    shape = (knum, pn, params.ntt_len)
+    ek_lo = rng.integers(0, 1 << 32, size=shape,
+                         dtype=np.uint64).astype(np.uint32)
+    ek_hi = rng.integers(0, 0xFFFFFFFF, size=shape,
+                         dtype=np.uint64).astype(np.uint32)
+    ctx.set_eval_keys(ek_lo, ek_hi)
+    p = pr_mod.Prince(dhs=SimpleNamespace(ctx=ctx))
+    layer = p._build_sbox_layer(0, inverse=False)
+    tb = p.table_args()
+
+    ps = np.array(params.crt_primes[:pn], dtype=np.uint64)
+    state = (rng.integers(0, 1 << 62, size=(64, pn, params.crt_len),
+                          dtype=np.uint64) % ps[None, :, None]).astype(np.uint32)
+
+    want = np.asarray(jax.jit(layer)(jnp.asarray(state), tb))
+
+    mesh = pmesh.make_mesh(2, 4)
+    sh = pmesh.ciphertext_sharding(mesh)
+    got = jax.jit(layer)(jax.device_put(state, sh),
+                         jax.tree.map(lambda a: jax.device_put(
+                             a, pmesh.replicated(mesh)), tb))
+    assert len(got.sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(got), want)
