@@ -224,11 +224,20 @@ def main():
             times.append(time.perf_counter() - t0)
         return min(times) / k, max(times) / k
 
-    def sweep(n, impl, bl):
-        oracle_gate(n, impl)
-        per_bundle = {}
-        per_bundle_max = {}
+    def sweep(n, impl, bl, min_left=0):
+        """Measure bundle points in priority order; returns early (keeping
+        partial results) once the wall-time budget drops below min_left."""
+        key = f"ntt{n // 1024}k" + ("" if impl == headline_impl
+                                    else f"_{impl}")
+        per_bundle = results.setdefault(key, {})
+        per_bundle_max = results.setdefault(key + "_maxrep", {})
         for b in bl:
+            if b in per_bundle:
+                continue
+            if min_left and left() < min_left and per_bundle:
+                log(f"{key}: stopping sweep at b={b} "
+                    f"({left():.0f}s of budget left)")
+                break
             # a single synchronous jitted call + fetch costs ~25 ms through
             # the tunnel; amortize it below ~0.4 us/transform.  The
             # reference's cudaEvent timing likewise excludes host overhead.
@@ -236,18 +245,18 @@ def main():
             lo_t, hi_t = time_ntt(n, b, iters, impl)
             per_bundle[b] = lo_t / b * 1e3       # ms per transform (min)
             per_bundle_max[b] = hi_t / b * 1e3
-        key = f"ntt{n // 1024}k" + ("" if impl == headline_impl
-                                    else f"_{impl}")
-        results[key] = per_bundle
-        results[key + "_maxrep"] = per_bundle_max
         log(f"ntt {n} ({impl}): "
             + "  ".join(f"b{b}={per_bundle[b]*1e3:.2f}us"
-                        for b in per_bundle))
+                        for b in sorted(per_bundle)))
 
-    # --- headline-impl bundle sweeps (the numbers that matter) -------------
-    bundles = [1, 2, 4, 8, 16, 32, 64, 128, 256, 512]
+    # --- priority pass: oracle + the baseline-comparison points ------------
+    # b512 (the amortized headline, doc/Perf_NTT.txt:14) and b1 (latency,
+    # :5) per size come first so a timed-out run still records every
+    # vs-baseline number; the remaining bundle points fill in later as the
+    # budget allows.
     for n in (16384, 32768, 65536):
-        sweep(n, headline_impl, bundles)
+        oracle_gate(n, headline_impl)
+        sweep(n, headline_impl, [512, 1])
         if n == 16384:
             print_headline()
         write_details()
@@ -361,6 +370,15 @@ def main():
     write_details()
 
     # --- optional sections (skipped when the budget runs low) --------------
+    # fill pass: the remaining bundle points of the reference's table
+    for n in (16384, 32768, 65536):
+        if left() < 120:
+            log(f"skipping fill sweep n>={n}: {left():.0f}s left")
+            break
+        sweep(n, headline_impl, [256, 128, 64, 32, 16, 8, 4, 2],
+              min_left=90)
+        write_details()
+
     if on_tpu:
         if left() > 150:
             for n in (16384, 32768, 65536):
@@ -368,7 +386,8 @@ def main():
                     log(f"skipping xla sweep n>={n}: "
                         f"{left():.0f}s of budget left")
                     break
-                sweep(n, "xla", [1, 64, 512])
+                oracle_gate(n, "xla")
+                sweep(n, "xla", [512, 1, 64], min_left=45)
                 write_details()
         else:
             log(f"skipping xla comparison sweeps: {left():.0f}s left")
