@@ -266,6 +266,139 @@ class Prince:
                     raw_of=raw_of, raw_of_prod=raw_of_prod,
                     modswitch=modswitch, cadd=cadd, cnot=cnot)
 
+    def _build_sbox_stages(self, lvl: int, inverse: bool):
+        """The S-box layer as a list of separately-jitted stages.
+
+        Same computation as _build_sbox_layer, split at natural pipeline
+        boundaries so each XLA graph stays small: the monolithic layer jit
+        at the Prince config (25 primes, 32k ring) produced a ~3 MB MLIR
+        module whose remote compile got SIGKILLed (r4,
+        examples/prince_kat_full_r04.log).  Intermediates stay
+        device-resident between stages; the extra dispatches cost ~25 ms
+        each through the tunnel — noise against minutes of compile.
+        """
+        o0 = self._ops(lvl)
+        o1 = self._ops(lvl + 1)
+        mul = modp.mul_modp
+
+        def products(state, tb):
+            # c2n + six pairwise products; outputs the relin input pair,
+            # the other-products pair and the CRT-domain abcd stack
+            abcd = jnp.stack([state[0::4], state[1::4], state[2::4],
+                              state[3::4]])  # [4, 16, pn, clen]
+            nt = o0["c2n"](abcd, tb)
+            A = (nt[0][0], nt[1][0])
+            B = (nt[0][1], nt[1][1])
+            C = (nt[0][2], nt[1][2])
+            D = (nt[0][3], nt[1][3])
+            prods = {"ab": mul(A, B), "ac": mul(A, C), "ad": mul(A, D),
+                     "bc": mul(B, C), "bd": mul(B, D), "cd": mul(C, D)}
+            rl_in = (jnp.concatenate([prods["ab"][0], prods["cd"][0]]),
+                     jnp.concatenate([prods["ab"][1], prods["cd"][1]]))
+            ot_in = (jnp.concatenate(
+                         [prods[k][0] for k in ("ac", "ad", "bc", "bd")]),
+                     jnp.concatenate(
+                         [prods[k][1] for k in ("ac", "ad", "bc", "bd")]))
+            return rl_in[0], rl_in[1], ot_in[0], ot_in[1], abcd
+
+        def relin_prod0(rl_lo, rl_hi, tb):
+            return o0["raw_of_prod"]((rl_lo, rl_hi), tb)
+
+        def relin_main0(raw, tb):
+            return o0["relin"](raw, tb)
+
+        def reduce_others(ot_lo, ot_hi, tb):
+            return o0["n2c_prod"]((ot_lo, ot_hi), tb)
+
+        def switch_and_xor(rl, ot_c, abcd, tb):
+            ab_c, cd_c = rl[:16], rl[16:]
+            ac_c, ad_c, bc_c, bd_c = (ot_c[0:16], ot_c[16:32],
+                                      ot_c[32:48], ot_c[48:64])
+            stack = jnp.concatenate([ab_c, cd_c, ac_c, ad_c, bc_c, bd_c,
+                                     abcd[0], abcd[1], abcd[2], abcd[3]])
+            sw = o0["modswitch"](stack, tb)
+            (ab1, cd1, ac1, ad1, bc1, bd1, a1, b1, c1, d1) = (
+                sw[16 * i: 16 * (i + 1)] for i in range(10))
+            x = o1["cadd"]
+            if not inverse:
+                out0 = o1["cnot"](x(x(x(a1, c1), ab1), bc1))
+                out1 = x(x(x(x(a1, d1), ac1), ad1), cd1)
+                out2 = o1["cnot"](x(x(ac1, bc1), bd1))
+                out3 = o1["cnot"](x(x(x(x(x(a1, b1), ab1), ad1), bc1), cd1))
+            else:
+                out0 = o1["cnot"](x(x(x(x(x(c1, d1), ab1), bc1), bd1), cd1))
+                out1 = x(x(x(x(x(b1, d1), ac1), bc1), bd1), cd1)
+                out2 = o1["cnot"](x(x(x(ab1, ac1), bc1), bd1))
+                out3 = o1["cnot"](x(x(x(a1, ab1), bc1), cd1))
+            outs = jnp.concatenate([out0, out1, out2, out3])
+            six = jnp.concatenate([a1, b1, c1, d1, ab1, cd1])
+            return outs, six
+
+        def cubic_products(six, tb):
+            nt6 = o1["c2n"](six, tb)
+            A1 = (nt6[0][0:16], nt6[1][0:16])
+            B1 = (nt6[0][16:32], nt6[1][16:32])
+            C1 = (nt6[0][32:48], nt6[1][32:48])
+            D1 = (nt6[0][48:64], nt6[1][48:64])
+            AB1 = (nt6[0][64:80], nt6[1][64:80])
+            CD1 = (nt6[0][80:96], nt6[1][80:96])
+            abd = mul(AB1, D1)
+            acd = mul(CD1, A1)
+            bcd = mul(CD1, B1)
+            abc = mul(AB1, C1)
+            cubic = (jnp.concatenate([abd[0], acd[0], bcd[0], abc[0]]),
+                     jnp.concatenate([abd[1], acd[1], bcd[1], abc[1]]))
+            return o1["n2c_prod"](cubic, tb)
+
+        def xor_cubic_raw(outs, cub_c, tb):
+            abd_c, acd_c, bcd_c, abc_c = (cub_c[0:16], cub_c[16:32],
+                                          cub_c[32:48], cub_c[48:64])
+            out0, out1, out2, out3 = (outs[0:16], outs[16:32],
+                                      outs[32:48], outs[48:64])
+            x = o1["cadd"]
+            if not inverse:
+                out0 = x(x(x(out0, abd_c), acd_c), bcd_c)
+                out1 = x(x(out1, abc_c), acd_c)
+                out2 = x(x(out2, abc_c), bcd_c)
+                out3 = x(out3, bcd_c)
+            else:
+                out0 = x(x(x(out0, abc_c), abd_c), bcd_c)
+                out1 = x(x(out1, acd_c), bcd_c)
+                out2 = x(out2, bcd_c)
+                out3 = x(x(out3, abd_c), acd_c)
+            outs = jnp.concatenate([out0, out1, out2, out3])
+            return o1["raw_of"](outs, tb)
+
+        def relin_main1(raw, tb):
+            return o1["relin"](raw, tb)
+
+        def switch_final(outs, tb):
+            outs = o1["modswitch"](outs, tb)
+            out0, out1, out2, out3 = (outs[0:16], outs[16:32],
+                                      outs[32:48], outs[48:64])
+            res = jnp.stack([out0, out1, out2, out3], axis=1)
+            return res.reshape((64,) + res.shape[2:])
+
+        return [("products", products), ("relin_prod0", relin_prod0),
+                ("relin_main0", relin_main0), ("reduce_others", reduce_others),
+                ("switch_and_xor", switch_and_xor),
+                ("cubic_products", cubic_products),
+                ("xor_cubic_raw", xor_cubic_raw),
+                ("relin_main1", relin_main1), ("switch_final", switch_final)]
+
+    def _run_sbox_stages(self, stages, state, tb):
+        """Execute the staged layer; intermediates stay on device."""
+        fns = dict(stages)
+        rl_lo, rl_hi, ot_lo, ot_hi, abcd = fns["products"](state, tb)
+        raw0 = fns["relin_prod0"](rl_lo, rl_hi, tb)
+        rl = fns["relin_main0"](raw0, tb)
+        ot_c = fns["reduce_others"](ot_lo, ot_hi, tb)
+        outs, six = fns["switch_and_xor"](rl, ot_c, abcd, tb)
+        cub_c = fns["cubic_products"](six, tb)
+        raw1 = fns["xor_cubic_raw"](outs, cub_c, tb)
+        outs2 = fns["relin_main1"](raw1, tb)
+        return fns["switch_final"](outs2, tb)
+
     def _build_sbox_layer(self, lvl: int, inverse: bool):
         """One full S-box substitution layer: 16 nibbles batched.
 
@@ -369,11 +502,18 @@ class Prince:
         import sys
         import time
 
-        key = (self.level, inverse)
+        split = os.environ.get("CUHE_SBOX_SPLIT", "1") != "0"
+        key = (self.level, inverse, split)
         fresh = key not in self._layer_cache
         if fresh:
-            self._layer_cache[key] = jax.jit(
-                self._build_sbox_layer(self.level, inverse))
+            if split:
+                stages = [(nm, jax.jit(fn)) for nm, fn in
+                          self._build_sbox_stages(self.level, inverse)]
+                self._layer_cache[key] = (
+                    lambda s, tb: self._run_sbox_stages(stages, s, tb))
+            else:
+                self._layer_cache[key] = jax.jit(
+                    self._build_sbox_layer(self.level, inverse))
         t0 = time.time()
         out = self._layer_cache[key](state, self.table_args())
         if os.environ.get("CUHE_PRINCE_TIMING", "1") != "0":

@@ -770,43 +770,73 @@ def _relin_p_call(n: int, bt: int, c: int, w: int, off: int, span: int,
                                             jnp.uint32),) * 2,
             scratch_shapes=[pltpu.VMEM((c, bt, n1, n2), jnp.uint32)] * 2,
             interpret=interpret,
-            **({} if interpret or _compiler_params(3, True) is None
-               else {"compiler_params": _compiler_params(3, True)}),
+            **({} if interpret or _relin_p_compiler_params() is None
+               else {"compiler_params": _relin_p_compiler_params()}),
         )(xm, twlo, twhi, ekm[0], ekm[1], *tabs)
         return out
 
     return call, tab_arrays
 
 
+def _relin_p_vmem_mb() -> int:
+    """Scoped-VMEM limit for the pnum-chunked relin kernel.  Higher than
+    the library default 64 MB (v5e VMEM is 128 MB): this kernel's block
+    set legitimately needs ~90 MB at the Prince config."""
+    return int(_os.environ.get("CUHE_RELIN_P_VMEM_MB", "100"))
+
+
+def _relin_p_compiler_params():
+    if pltpu is None:
+        return None
+    try:
+        return pltpu.CompilerParams(
+            vmem_limit_bytes=_relin_p_vmem_mb() * 1024 * 1024)
+    except Exception:  # pragma: no cover - older pallas versions
+        return None
+
+
+# Mosaic-measured _fwd_body live set (digit stacks + band-dot i32 planes):
+# 46 MB at bt=8, n=32768 (r4 probe: scoped total 74.6 M at pc=2 with 28 M
+# of blocks) -> ~180 bytes per bt*n element.
+_FWD_BODY_BYTES_PER_ELEM = 180
+
+
 def relin_fused_fit_p(n: int, pnum: int, w: int = 16):
     """VMEM fit for the pnum-chunked relin kernel: {bt, pc, c} or None.
 
-    Searches (bt, c, pc) with pc descending — scratch re-read traffic is
-    B*npc*c*n*8 bytes, so the largest fitting pnum chunk wins; bt=8 before
-    4 because eval-key traffic scales with B/bt.  The budget derives from
-    the same scoped-VMEM limit the kernel compiles with minus a margin for
-    the _fwd_body live set (digit stacks + band-dot planes, which scale
-    with bt) and the twiddle/digit tables.
+    Searches (bt, c, pc) — scratch re-read traffic is B*npc*c*n*8 bytes,
+    so a larger fitting pnum chunk wins, but zero-padded planes (pnum
+    rounded up to a pc multiple) waste contraction work, so among fitting
+    pcs the one minimizing the padded total (then the largest) is chosen;
+    bt=8 before 4 because eval-key traffic scales with B/bt.  The budget
+    is the kernel's own scoped-VMEM limit (_relin_p_vmem_mb) minus the
+    measurement-calibrated _fwd_body live set and the digit tables.
     """
     if pltpu is None:
         return None
-    env = _os.environ.get("CUHE_RELIN_P_VMEM_MB")
-    limit_mb = (int(env) if env is not None
-                else int(_os.environ.get("CUHE_VMEM_LIMIT_MB", "64")))
+    limit = _relin_p_vmem_mb() << 20
     for bt in (8, 4):
-        margin = (3 * bt + 6) << 20        # fwd-body temps + tables
-        budget = (limit_mb << 20) - margin
+        margin = _FWD_BODY_BYTES_PER_ELEM * bt * n + (2 << 20)  # + tables
+        budget = limit - margin
         for c in (8, 4):
             span = ((w * c - 1) >> 5) + 2
             scratch = 2 * c * bt * n * 4
             xin = 2 * bt * span * (n // 2) * 4
-            for pc in (8, 6, 5, 4, 3, 2, 1):
+            fitting = []
+            for pc in (8, 7, 6, 5, 4, 3, 2, 1):
                 if pc > pnum:
                     continue
                 out_b = 2 * 2 * bt * pc * n * 4    # 2 planes, 2 buffers
                 ek_b = 2 * 2 * pc * n * 4
                 if scratch + xin + out_b + ek_b <= budget:
-                    return {"bt": bt, "pc": pc, "c": c}
+                    fitting.append(pc)
+            if fitting:
+                # fewest pnum chunks first (scratch re-reads scale with
+                # npc), then least zero padding, then the largest pc
+                best = min(fitting,
+                           key=lambda pc: (-(-pnum // pc),
+                                           -(-pnum // pc) * pc, -pc))
+                return {"bt": bt, "pc": best, "c": c}
     return None
 
 

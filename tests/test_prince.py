@@ -118,3 +118,38 @@ def test_prince_checkpoint_resume(tmp_path):
     got = np.asarray(p2.encrypt_blocks(A, B, C, max_rounds=2,
                                        resume=(state, lvl, done)))
     np.testing.assert_array_equal(got, want)
+
+
+def test_sbox_stages_match_monolithic_layer():
+    """The stage-split S-box execution (r4: remote-compile-helper-sized
+    jit graphs) is bit-identical to the monolithic layer jit."""
+    from types import SimpleNamespace
+
+    import jax
+    import jax.numpy as jnp
+    from cuhe_tpu.context import Context
+    from cuhe_tpu.params import make_params
+
+    params = make_params(3, 2, 16, 50, 25, 8191)
+    ctx = Context(params)
+    rng = np.random.default_rng(5)
+    knum = params.num_eval_key
+    pn = params.num_crt_prime
+    shape = (knum, pn, params.ntt_len)
+    ek_lo = rng.integers(0, 1 << 32, size=shape,
+                         dtype=np.uint64).astype(np.uint32)
+    ek_hi = rng.integers(0, 0xFFFFFFFF, size=shape,
+                         dtype=np.uint64).astype(np.uint32)
+    ctx.set_eval_keys(ek_lo, ek_hi)
+    p = pr.Prince(dhs=SimpleNamespace(ctx=ctx))
+    ps = np.array(params.crt_primes[:pn], dtype=np.uint64)
+    state = (rng.integers(0, 1 << 62, size=(64, pn, params.crt_len),
+                          dtype=np.uint64) % ps[None, :, None]).astype(np.uint32)
+    tb = p.table_args()
+    for inverse in (False, True):
+        mono = jax.jit(p._build_sbox_layer(0, inverse))(
+            jnp.asarray(state), tb)
+        stages = [(nm, jax.jit(fn)) for nm, fn in
+                  p._build_sbox_stages(0, inverse)]
+        split = p._run_sbox_stages(stages, jnp.asarray(state), tb)
+        np.testing.assert_array_equal(np.asarray(split), np.asarray(mono))
