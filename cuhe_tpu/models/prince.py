@@ -388,7 +388,29 @@ class Prince:
 
     def _run_sbox_stages(self, stages, state, tb):
         """Execute the staged layer; intermediates stay on device."""
-        fns = dict(stages)
+        import os
+        import sys
+        import time
+
+        verbose = os.environ.get("CUHE_PRINCE_TIMING", "1") != "0"
+        fns = {}
+        for nm, fn in stages:
+            if not verbose:
+                fns[nm] = fn
+                continue
+
+            def timed(f=fn, nm=nm):
+                def run(*a):
+                    t0 = time.time()
+                    out = f(*a)
+                    dt = time.time() - t0
+                    if dt > 5:   # dispatch is ms; >5s means it compiled
+                        print(f"    stage {nm}: {dt:.1f}s",
+                              file=sys.stderr, flush=True)
+                    return out
+                return run
+
+            fns[nm] = timed()
         rl_lo, rl_hi, ot_lo, ot_hi, abcd = fns["products"](state, tb)
         raw0 = fns["relin_prod0"](rl_lo, rl_hi, tb)
         rl = fns["relin_main0"](raw0, tb)

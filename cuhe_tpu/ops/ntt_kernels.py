@@ -82,7 +82,9 @@ def _compiler_params(grid_dims: int = 1, force_arbitrary: bool = False):
     output blocks / persistent scratch) must stay sequential."""
     if pltpu is None:
         return None
-    mb = int(_os.environ.get("CUHE_VMEM_LIMIT_MB", "64"))
+    # default 80 MB (v5e VMEM is 128): the 32k inverse kernel at bt=8
+    # needs 64.11 MB — 112 KB over the old 64 MB limit (r4 KAT run 2)
+    mb = int(_os.environ.get("CUHE_VMEM_LIMIT_MB", "80"))
     kw = {"vmem_limit_bytes": mb * 1024 * 1024}
     sem = _os.environ.get("CUHE_DIM_SEM", "")
     if sem and not force_arbitrary:
@@ -613,7 +615,7 @@ def relin_fused_fit(n: int, pnum: int, bt: int | None = None) -> int | None:
     if env is not None:
         budget = int(env) << 20
     else:
-        limit_mb = int(_os.environ.get("CUHE_VMEM_LIMIT_MB", "64"))
+        limit_mb = int(_os.environ.get("CUHE_VMEM_LIMIT_MB", "80"))
         budget = (limit_mb << 20) - (4 << 20)
     bt = bt or _DEFAULT_BT[n]
     # double-buffered input block [bt, span, n1/2, n2] u32; span for a
@@ -816,7 +818,10 @@ def relin_fused_fit_p(n: int, pnum: int, w: int = 16):
         return None
     limit = _relin_p_vmem_mb() << 20
     for bt in (8, 4):
-        margin = _FWD_BODY_BYTES_PER_ELEM * bt * n + (2 << 20)  # + tables
+        # + tables and a 4 MB safety band: a Mosaic compile failure at KAT
+        # time aborts the run (there is no post-trace fallback), so the fit
+        # must not sit at the limit's edge
+        margin = _FWD_BODY_BYTES_PER_ELEM * bt * n + (6 << 20)
         budget = limit - margin
         for c in (8, 4):
             span = ((w * c - 1) >> 5) + 2

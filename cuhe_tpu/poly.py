@@ -237,11 +237,15 @@ def relin(ctx: Context, ct: Ctxt) -> Ctxt:
 # ---------------------------------------------------------------------------
 
 def poly_mul_ints(ctx: Context, a: list[int], b: list[int], lvl: int) -> list[int]:
-    """(a * b) mod m(x), coefficients mod q_lvl; both inputs already in [0, q)."""
-    ca = to_ntt(ctx, ctxt_from_ints(a, lvl))
-    cb = to_ntt(ctx, ctxt_from_ints(b, lvl))
-    cc = c_and(ctx, ca, cb)
-    return to_ints(ctx, cc)
+    """(a * b) mod m(x), coefficients mod q_lvl; both inputs already in [0, q).
+
+    Routed through the batched one-to-many pipeline so keygen's single
+    pk = g*f^-1 product (DHS.cu:330) shares ONE jitted program with
+    genEk/encrypt/decrypt instead of compiling its own — compiles through
+    the axon tunnel cost ~8 min each and the persistent cache does not hit
+    across processes (r4 setup profile).
+    """
+    return poly_mul_one_to_many(ctx, a, [b], lvl)[0]
 
 
 def poly_mul_one_to_many(ctx: Context, a: list[int], bs: list[list[int]],
