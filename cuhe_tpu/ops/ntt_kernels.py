@@ -910,9 +910,11 @@ def _make_inv_kernel(bt: int, n1: int, n2: int, rebuild):
         # one canonical subtract before the per-transform mod-p reduce
         y = modp.canonicalize(
             _dot_left(w1i_tabs, bd, n1, n1))              # [t1, bt, n2]
-        p = jnp.swapaxes(p_ref[...], 0, 1)                # [1, bt, 1]
-        mu = (jnp.swapaxes(mulo_ref[...], 0, 1),
-              jnp.swapaxes(muhi_ref[...], 0, 1))
+        # p/mu arrive lane-replicated [bt, n2] (native (8,128) tiles): the
+        # old [bt, 1, 1] scalar blocks made Mosaic's grid>1 compile
+        # pathological — 412 s vs 28 s for this kernel at grid 2 (r4 probe)
+        p = p_ref[...][None]                              # [1, bt, n2]
+        mu = (mulo_ref[...][None], muhi_ref[...][None])
         o_ref[...] = jnp.swapaxes(modp.mod_u32(y, p, mu), 0, 1)
 
     return kernel
@@ -929,11 +931,8 @@ def _inv_call(n: int, bt: int, interpret: bool):
     @jax.jit
     def call(xlo, xhi, p, mu_lo, mu_hi, twlo, twhi, *tabs):
         bsz = xlo.shape[0]
-        # per-transform scalars as [B, 1, 1]: 3D blocks keep the (1, 1)
-        # trailing dims equal to the array's, so any bt is legal (2D (bt, 1)
-        # blocks are rejected for bt % 8 != 0, and SMEM refs only allow
-        # scalar loads)
-        scal = pl.BlockSpec((bt, 1, 1), lambda i: (i, 0, 0))
+        # per-transform p/mu as lane-replicated [B, n2] (see kernel note)
+        scal = pl.BlockSpec((bt, n2), lambda i: (i, 0))
         out = pl.pallas_call(
             kernel,
             grid=(bsz // bt,),
@@ -973,15 +972,16 @@ def intt_modcrt(x_pair, n: int, p, mu, *, layout: str = "mat",
         hi = jnp.swapaxes(hi.reshape(b, n2, n1), -1, -2)
     bt = bt or _DEFAULT_BT_INV[n]
     pad = (-b) % bt
-    pv = p.reshape(-1, 1, 1)
-    ml = mu[0].reshape(-1, 1, 1)
-    mh = mu[1].reshape(-1, 1, 1)
+    # lane-replicated [B, n2] p/mu (native-tile blocks; see _make_inv_kernel)
+    pv = jnp.broadcast_to(p.reshape(-1, 1), (b, n2))
+    ml = jnp.broadcast_to(mu[0].reshape(-1, 1), (b, n2))
+    mh = jnp.broadcast_to(mu[1].reshape(-1, 1), (b, n2))
     if pad:
         lo = jnp.pad(lo, ((0, pad), (0, 0), (0, 0)))
         hi = jnp.pad(hi, ((0, pad), (0, 0), (0, 0)))
-        pv = jnp.pad(pv, ((0, pad), (0, 0), (0, 0)), constant_values=1)
-        ml = jnp.pad(ml, ((0, pad), (0, 0), (0, 0)))
-        mh = jnp.pad(mh, ((0, pad), (0, 0), (0, 0)))
+        pv = jnp.pad(pv, ((0, pad), (0, 0)), constant_values=1)
+        ml = jnp.pad(ml, ((0, pad), (0, 0)))
+        mh = jnp.pad(mh, ((0, pad), (0, 0)))
     call, tab_np = _inv_call(n, bt, interpret)
     out = call(lo, hi, pv, ml, mh, jnp.asarray(t["twi"][0]),
                jnp.asarray(t["twi"][1]), *[jnp.asarray(a) for a in tab_np])
