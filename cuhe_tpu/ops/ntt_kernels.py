@@ -797,10 +797,15 @@ def _relin_p_compiler_params():
         return None
 
 
-# Mosaic-measured _fwd_body live set (digit stacks + band-dot i32 planes):
-# 46 MB at bt=8, n=32768 (r4 probe: scoped total 74.6 M at pc=2 with 28 M
-# of blocks) -> ~180 bytes per bt*n element.
-_FWD_BODY_BYTES_PER_ELEM = 180
+# Mosaic-measured scoped-VMEM model, calibrated on two Prince-scale compile
+# reports (bt=8, c=8, n=32k): scoped = 74.6 M at pc=2 and 125.1 M at pc=5
+# -> affine in pc with slope 16.8 M = 2 planes x EIGHT buffer copies x
+# bt*n*4 (Mosaic multi-buffers the revisited/accumulated output block far
+# beyond the naive double-buffer estimate) and
+# intercept 41 M = scratch (16.8) + input block (5.2) + _fwd_body live set
+# (~19 M = ~75 B per bt*n element) + tables.
+_FWD_BODY_BYTES_PER_ELEM = 75
+_OUT_BUFFERS = 8
 
 
 def relin_fused_fit_p(n: int, pnum: int, w: int = 16):
@@ -831,7 +836,7 @@ def relin_fused_fit_p(n: int, pnum: int, w: int = 16):
             for pc in (8, 7, 6, 5, 4, 3, 2, 1):
                 if pc > pnum:
                     continue
-                out_b = 2 * 2 * bt * pc * n * 4    # 2 planes, 2 buffers
+                out_b = 2 * _OUT_BUFFERS * bt * pc * n * 4
                 ek_b = 2 * 2 * pc * n * 4
                 if scratch + xin + out_b + ek_b <= budget:
                     fitting.append(pc)
