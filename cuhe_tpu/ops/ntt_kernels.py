@@ -605,12 +605,12 @@ def relin_fused_fit(n: int, pnum: int, bt: int | None = None) -> int | None:
     pnum*n*8 bytes — gigabytes per relin at the Prince config) and the
     batched ntt_fwd_digits path (pnum-independent windows) wins instead.
     """
-    # Derive the budget from the SAME scoped-VMEM limit the kernel is
-    # compiled with (_compiler_params / CUHE_VMEM_LIMIT_MB, default 64 MB),
-    # minus a margin for the twiddle/digit tables (~2 MB at 64k) — a fit
-    # estimate above the compile limit would pass here and then fail in
-    # Mosaic at runtime instead of falling back (advisor r3, medium).
-    # CUHE_RELIN_VMEM_MB still overrides for experiments.
+    # Calibrated Mosaic scoped-VMEM model (see _OUT_BUFFERS note): the
+    # revisited/accumulated output block costs ~8 buffer copies per u32
+    # plane, NOT the naive 2 — the optimistic 2-buffer estimate accepted
+    # (pnum=14, 32k) at mid Prince levels and Mosaic then OOMed at KAT
+    # time (r4 run 5, layer 5).  CUHE_RELIN_VMEM_MB overrides the budget
+    # for experiments.
     env = _os.environ.get("CUHE_RELIN_VMEM_MB")
     if env is not None:
         budget = int(env) << 20
@@ -622,10 +622,11 @@ def relin_fused_fit(n: int, pnum: int, bt: int | None = None) -> int | None:
     # 16-digit chunk at w<=16 is <= 10 raw words
     span_est = 10
     while bt >= 8:
-        out_bytes = 2 * 2 * bt * pnum * n * 4          # 2 planes, 2 buffers
+        out_bytes = 2 * _OUT_BUFFERS * bt * pnum * n * 4
         ek_bytes = 2 * 2 * pnum * n * 4
         in_bytes = 2 * bt * span_est * (n // 2) * 4
-        if out_bytes + ek_bytes + in_bytes <= budget:
+        body = _FWD_BODY_BYTES_PER_ELEM * bt * n + (2 << 20)
+        if out_bytes + ek_bytes + in_bytes + body <= budget:
             return bt
         bt //= 2
     return None

@@ -166,8 +166,11 @@ def test_relin_fused_fit_vmem_guard():
     guard (r3).  The gate-benchmark config must keep the fused path."""
     assert ntt_kernels.relin_fused_fit(16384, 4) == 8          # gate config: fused
     assert ntt_kernels.relin_fused_fit(32768, 25) is None      # Prince depth-25: fall back
-    # mid-size config fits at bt=8
-    assert ntt_kernels.relin_fused_fit(16384, 12) == 8
+    # mid-size configs exceed the measured 8-buffer output cost (r4 run 5
+    # OOMed at pnum=14, 32k under the old 2-buffer estimate) and must
+    # fall back to the pnum-chunked kernel
+    assert ntt_kernels.relin_fused_fit(32768, 14) is None
+    assert ntt_kernels.relin_fused_fit_p(32768, 14, 16) is not None
 
 @pytest.mark.parametrize("pnum,pc,c,j0", [
     (3, 2, 3, 1),          # pnum padded to 4 (zero-ek planes sliced off)
