@@ -24,7 +24,7 @@ from .serialize import Picklable, PicklableMap
 
 
 def _phase_timer(label: str):
-    """Setup-phase wall-clock reporting (CUHE_SETUP_TIMING=0 silences).
+    """Setup-phase wall-clock reporting (off by default; CUHE_SETUP_TIMING=1 enables).
 
     Returns a continuation: ``t = _phase_timer("a"); ...; t = t("b")``
     prints the time since the previous mark under the previous label.
@@ -34,7 +34,7 @@ def _phase_timer(label: str):
     import sys
     import time
 
-    quiet = os.environ.get("CUHE_SETUP_TIMING", "1") == "0"
+    quiet = os.environ.get("CUHE_SETUP_TIMING", "0") != "1"
     t0 = time.time()
 
     def mark(next_label: str):

@@ -392,7 +392,7 @@ class Prince:
         import sys
         import time
 
-        verbose = os.environ.get("CUHE_PRINCE_TIMING", "1") != "0"
+        verbose = os.environ.get("CUHE_PRINCE_TIMING", "0") == "1"
         fns = {}
         for nm, fn in stages:
             if not verbose:
@@ -538,7 +538,7 @@ class Prince:
                     self._build_sbox_layer(self.level, inverse))
         t0 = time.time()
         out = self._layer_cache[key](state, self.table_args())
-        if os.environ.get("CUHE_PRINCE_TIMING", "1") != "0":
+        if os.environ.get("CUHE_PRINCE_TIMING", "0") == "1":
             # dispatch is async; this brackets trace+compile (synchronous,
             # the dominant cost per VERDICT r3) plus dispatch
             print(f"  sbox_layer lvl={self.level} inverse={inverse} "

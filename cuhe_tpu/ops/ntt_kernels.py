@@ -592,7 +592,8 @@ def _relin_call(n: int, bt: int, c: int, w: int, off: int, span: int,
     return call, tab_arrays
 
 
-def relin_fused_fit(n: int, pnum: int, bt: int | None = None) -> int | None:
+def relin_fused_fit(n: int, pnum: int, bt: int | None = None,
+                    w: int = 16) -> int | None:
     """VMEM-fit check for relin_digits_mulacc: returns a workable bt or None.
 
     The kernel's revisited output block is [bt, pnum, n1, n2] u32 x2 and the
@@ -618,9 +619,10 @@ def relin_fused_fit(n: int, pnum: int, bt: int | None = None) -> int | None:
         limit_mb = int(_os.environ.get("CUHE_VMEM_LIMIT_MB", "80"))
         budget = (limit_mb << 20) - (4 << 20)
     bt = bt or _DEFAULT_BT[n]
-    # double-buffered input block [bt, span, n1/2, n2] u32; span for a
-    # 16-digit chunk at w<=16 is <= 10 raw words
-    span_est = 10
+    # double-buffered input block [bt, span, n1/2, n2] u32; span for the
+    # fused path's 16-digit chunk, computed the same way
+    # relin_digits_mulacc does (worst-case digit offset 31)
+    span_est = ((31 + w * 16 - 1) >> 5) + 2
     while bt >= 8:
         out_bytes = 2 * _OUT_BUFFERS * bt * pnum * n * 4
         ek_bytes = 2 * 2 * pnum * n * 4

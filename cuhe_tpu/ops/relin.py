@@ -78,7 +78,7 @@ def relinearize(raw: jnp.ndarray, ek_lo: jnp.ndarray, ek_hi: jnp.ndarray,
     w32 = raw.shape[-2]
     batch = raw.shape[:-2]
     nb = len(batch)
-    fused_bt = nk.relin_fused_fit(n, pnum) if nk.use_fused() else None
+    fused_bt = nk.relin_fused_fit(n, pnum, w=w) if nk.use_fused() else None
     # the fused branch below additionally requires mat layout; the chunk
     # decision must use the SAME predicate or a non-mat layout with a
     # fitting fused config would pick chunk=16 while running the unfused
@@ -108,6 +108,12 @@ def relinearize(raw: jnp.ndarray, ek_lo: jnp.ndarray, ek_hi: jnp.ndarray,
         chunk = knum
     else:
         chunk = min(digit_chunk, knum)
+    if fit_p is not None:
+        # an explicit digit_chunk larger than the fitted c would inflate the
+        # (c, bt, n1, n2) VMEM scratch past the budget relin_fused_fit_p
+        # validated — a Mosaic OOM abort with no post-trace fallback
+        # (advisor r4); the fitted c is a hard cap on that branch
+        chunk = min(chunk, fit_p["c"])
     chunk = min(chunk, knum)
     acc = None
     for j0 in range(0, knum, chunk):

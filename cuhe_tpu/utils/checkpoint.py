@@ -37,6 +37,11 @@ def _check_fact(z, path: str, n: int) -> None:
             f"{path}: unversioned (pre-r4) checkpoint holding NTT-domain "
             f"data; the mat-linear layout it was written with is unknown. "
             f"Re-create it, or convert via the commit that wrote it.")
+    if "ntt_factorization" not in z.files:
+        raise ValueError(
+            f"{path}: checkpoint was saved without an NTT factorization tag "
+            f"(save_state without ntt_len?) but is being loaded as "
+            f"NTT-domain data for n={n}; re-save it with ntt_len set.")
     stored = tuple(int(v) for v in z["ntt_factorization"])
     cur = tuple(int(v) for v in _fact_tag(n))
     if stored != cur:

@@ -12,6 +12,10 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
+# drivers opt in to the (default-off) library timing knobs
+os.environ.setdefault("CUHE_PRINCE_TIMING", "1")
+os.environ.setdefault("CUHE_SETUP_TIMING", "1")
+
 import jax
 
 if jax.default_backend() == "tpu":
