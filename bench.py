@@ -99,10 +99,16 @@ def main():
 
     headline_printed = []
 
-    def print_headline():
-        """Emit the ONE stdout JSON line (idempotent; called as soon as the
-        headline point exists so a timed-out run still parses)."""
-        if headline_printed:
+    def print_headline(force=False):
+        """Emit the ONE stdout JSON line as soon as the headline point
+        exists (idempotent, so a timed-out run still parses).  force=True
+        re-prints it as the process's LAST stdout line on the failure path
+        — if a crash (e.g. a Mosaic lowering error) interleaved diagnostics
+        into stdout, a parser reading the final line still gets the JSON
+        (r4: the crash run ended with parsed=null despite the early
+        print).  A clean run prints exactly one line."""
+        if (headline_printed and not force) or \
+                512 not in results.get("ntt16k", {}):
             return
         ours = results["ntt16k"][512]
         print(json.dumps({
@@ -249,23 +255,23 @@ def main():
             + "  ".join(f"b{b}={per_bundle[b]*1e3:.2f}us"
                         for b in sorted(per_bundle)))
 
-    # --- priority pass: oracle + the baseline-comparison points ------------
-    # b512 (the amortized headline, doc/Perf_NTT.txt:14) and b1 (latency,
-    # :5) per size come first so a timed-out run still records every
-    # vs-baseline number; the remaining bundle points fill in later as the
-    # budget allows.
-    for n in (16384, 32768, 65536):
-        oracle_gate(n, headline_impl)
-        sweep(n, headline_impl, [512, 1])
-        if n == 16384:
-            print_headline()
-        write_details()
+    # --- headline first: 16k oracle + the b512 point, then print ----------
+    # (doc/Perf_NTT.txt:14's amortized number; a run that dies later still
+    # has its stdout line.)
+    oracle_gate(16384, headline_impl)
+    sweep(16384, headline_impl, [512])
+    print_headline()
+    write_details()
 
-    # --- on-TPU bit-exactness gates for the remaining timed kernels --------
-    # The forward oracle above covers ntt_fwd; the gate pipeline also runs
-    # the Mosaic-compiled intt_modcrt, icrt_to_raw_fused and ntt_fwd_digits.
-    # Check each on-device against the XLA path before timing (the
-    # reference gates the exact kernels it times, tests/test_ntt.cu:38-64).
+    # --- ALL remaining correctness gates BEFORE any further timing --------
+    # (VERDICT r4 item 7: a lowering regression must surface in minute one,
+    # not after the sweep budget is spent.)  The forward oracles cover
+    # ntt_fwd at each size; the on-TPU section checks every other
+    # Mosaic-compiled kernel the gate pipeline runs (intt_modcrt,
+    # icrt_to_raw_fused, ntt_fwd_digits) against the XLA path — the
+    # reference gates the exact kernels it times (tests/test_ntt.cu:38-64).
+    for n in (32768, 65536):
+        oracle_gate(n, headline_impl)
     if on_tpu:
         from cuhe_tpu.ops import crt as crt_ops
 
@@ -327,6 +333,16 @@ def main():
                (np.asarray(got[1]) == np.asarray(want[1])).all(), \
             "ntt_fwd_digits on-TPU mismatch -- bench aborted"
         log("ntt_fwd_digits: on-TPU oracle ok")
+    write_details()
+
+    # --- priority baseline-comparison points ------------------------------
+    # b512 (amortized, doc/Perf_NTT.txt:14) and b1 (latency, :5) per size
+    # come right after the gates so a timed-out run still records every
+    # vs-baseline number; the remaining bundle points fill in later.
+    sweep(16384, headline_impl, [1])
+    for n in (32768, 65536):
+        sweep(n, headline_impl, [512, 1])
+        write_details()
 
     # --- fused gate pipeline (AND + relin + modswitch) ---------------------
     gate = None
@@ -407,4 +423,26 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException:
+        # failure path: keep rc != 0 (a broken kernel must fail the bench)
+        # but make the LAST stdout line the headline JSON if it was ever
+        # measured, so the driver's parse survives interleaved diagnostics
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        try:
+            details = json.load(open(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "bench_details.json")))
+            pt = details["ntt_amortized_ms_per_transform"]["ntt16k"]["512"]
+            print(json.dumps({
+                "metric": "ntt16k_amortized_latency_bundle512",
+                "value": round(pt * 1e3, 4), "unit": "us",
+                "vs_baseline": round(
+                    details["baseline_ms_bundle512"]["16384"] / pt, 3),
+            }), flush=True)
+        except Exception:
+            pass
+        sys.exit(1)

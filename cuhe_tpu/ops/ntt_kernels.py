@@ -629,7 +629,10 @@ def relin_fused_fit(n: int, pnum: int, bt: int | None = None,
         in_bytes = 2 * bt * span_est * (n // 2) * 4
         body = _FWD_BODY_BYTES_PER_ELEM * bt * n + (2 << 20)
         if out_bytes + ek_bytes + in_bytes + body <= budget:
-            return bt
+            # the model only orders candidates; Mosaic has the last word
+            # (try-compile probing, VERDICT r4 item 5)
+            if not _probe_enabled() or _probe_relin(n, bt, 16, w, pnum):
+                return bt
         bt //= 2
     return None
 
@@ -811,6 +814,73 @@ _FWD_BODY_BYTES_PER_ELEM = 75
 _OUT_BUFFERS = 8
 
 
+# ---------------------------------------------------------------------------
+# try-compile probing (VERDICT r4 item 5)
+# ---------------------------------------------------------------------------
+#
+# The affine VMEM models above only ORDER the candidate configs; whether a
+# config actually fits is decided by asking Mosaic — a grid-1 lowering of
+# the exact kernel instance is attempted once per config (cached in-process,
+# and across processes via the persistent compilation cache) and the fit
+# search walks down on failure.  This deletes model miscalibration as a
+# run-aborting failure mode: the r4 KAT aborted at layer 5 because an
+# optimistic 2-buffer estimate accepted a config Mosaic later refused, and
+# there is no post-trace fallback once a jitted level program is running.
+# The reference's analogous fit-to-memory dial is the hand-set `more` knob
+# (cuhe/Relinearization.cu:40) — here it is self-tuning.
+
+def _probe_enabled() -> bool:
+    return (jax.default_backend() == "tpu"
+            and _os.environ.get("CUHE_TRY_COMPILE", "1") == "1")
+
+
+def _attempt_compile(call, args) -> bool:
+    """Lower+compile a jitted callable on abstract args; False on failure.
+
+    Module-level so tests can monkeypatch a failing compile to prove the
+    fit-search fallback without burning a real Mosaic compile.
+    """
+    try:
+        call.lower(*args).compile()
+        return True
+    except Exception as e:  # Mosaic OOM / block-shape refusal
+        import sys as _sys
+        print(f"cuhe_tpu: try-compile probe rejected a kernel config: "
+              f"{str(e)[:200]}", file=_sys.stderr, flush=True)
+        return False
+
+
+@functools.lru_cache(maxsize=None)
+def _probe_relin(n: int, bt: int, c: int, w: int, pnum: int) -> bool:
+    """Grid-1 Mosaic compile attempt of the single-pass relin kernel."""
+    t = tables(n)
+    n1, n2 = t["n1"], t["n2"]
+    span = ((w * c - 1) >> 5) + 2
+    call, tab_np = _relin_call(n, bt, c, w, 0, span, pnum, False)
+    S = jax.ShapeDtypeStruct
+    args = ([S((bt, span, n // 2), jnp.uint32),
+             S((n1, n2), jnp.uint32), S((n1, n2), jnp.uint32),
+             S((c, pnum, n), jnp.uint32), S((c, pnum, n), jnp.uint32)]
+            + [S(a.shape, a.dtype) for a in tab_np])
+    return _attempt_compile(call, args)
+
+
+@functools.lru_cache(maxsize=None)
+def _probe_relin_p(n: int, bt: int, c: int, w: int, pc: int,
+                   pnum_p: int) -> bool:
+    """Grid-1-batch Mosaic compile attempt of the pnum-chunked kernel."""
+    t = tables(n)
+    n1, n2 = t["n1"], t["n2"]
+    span = ((w * c - 1) >> 5) + 2
+    call, tab_np = _relin_p_call(n, bt, c, w, 0, span, pc, False)
+    S = jax.ShapeDtypeStruct
+    args = ([S((bt, span, n // 2), jnp.uint32),
+             S((n1, n2), jnp.uint32), S((n1, n2), jnp.uint32),
+             S((c, pnum_p, n), jnp.uint32), S((c, pnum_p, n), jnp.uint32)]
+            + [S(a.shape, a.dtype) for a in tab_np])
+    return _attempt_compile(call, args)
+
+
 def relin_fused_fit_p(n: int, pnum: int, w: int = 16):
     """VMEM fit for the pnum-chunked relin kernel: {bt, pc, c} or None.
 
@@ -843,13 +913,16 @@ def relin_fused_fit_p(n: int, pnum: int, w: int = 16):
                 ek_b = 2 * 2 * pc * n * 4
                 if scratch + xin + out_b + ek_b <= budget:
                     fitting.append(pc)
-            if fitting:
-                # fewest pnum chunks first (scratch re-reads scale with
-                # npc), then least zero padding, then the largest pc
-                best = min(fitting,
-                           key=lambda pc: (-(-pnum // pc),
-                                           -(-pnum // pc) * pc, -pc))
-                return {"bt": bt, "pc": best, "c": c}
+            # fewest pnum chunks first (scratch re-reads scale with npc),
+            # then least zero padding, then the largest pc; the model only
+            # orders the candidates — each is try-compiled and the search
+            # walks on if Mosaic refuses it (VERDICT r4 item 5)
+            for pc in sorted(fitting,
+                             key=lambda pc: (-(-pnum // pc),
+                                             -(-pnum // pc) * pc, -pc)):
+                if not _probe_enabled() or _probe_relin_p(n, bt, c, w,
+                                                          pc, pc):
+                    return {"bt": bt, "pc": pc, "c": c}
     return None
 
 
@@ -899,7 +972,7 @@ def relin_digits_mulacc_p(raw, ek_pair, n: int, *, w: int, j0: int, c: int,
 # inverse kernel (+ modcrt epilogue)
 # ---------------------------------------------------------------------------
 
-def _make_inv_kernel(bt: int, n1: int, n2: int, rebuild):
+def _make_inv_kernel(bt: int, n1: int, n2: int, rebuild, scal3d: bool):
     def kernel(*refs):
         (xlo_ref, xhi_ref, p_ref, mulo_ref, muhi_ref,
          twlo_ref, twhi_ref) = refs[:7]
@@ -918,11 +991,20 @@ def _make_inv_kernel(bt: int, n1: int, n2: int, rebuild):
         # one canonical subtract before the per-transform mod-p reduce
         y = modp.canonicalize(
             _dot_left(w1i_tabs, bd, n1, n1))              # [t1, bt, n2]
-        # p/mu arrive lane-replicated [bt, n2] (native (8,128) tiles): the
+        # p/mu arrive lane-replicated with native (x, 128) lane tiles: the
         # old [bt, 1, 1] scalar blocks made Mosaic's grid>1 compile
-        # pathological — 412 s vs 28 s for this kernel at grid 2 (r4 probe)
-        p = p_ref[...][None]                              # [1, bt, n2]
-        mu = (mulo_ref[...][None], muhi_ref[...][None])
+        # pathological — 412 s vs 28 s for this kernel at grid 2 (r4 probe).
+        # Layout depends on bt: [bt, n2] blocks when bt % 8 == 0, else a 3D
+        # [bt, 1, n2] block (sublane dim == full array dim, so any bt is
+        # legal — the 2D (4, 256) block at 64k's bt=4 failed Mosaic's
+        # 8-sublane divisibility rule, the r4 bench crash).
+        if scal3d:
+            p = jnp.swapaxes(p_ref[...], 0, 1)            # [1, bt, n2]
+            mu = (jnp.swapaxes(mulo_ref[...], 0, 1),
+                  jnp.swapaxes(muhi_ref[...], 0, 1))
+        else:
+            p = p_ref[...][None]                          # [1, bt, n2]
+            mu = (mulo_ref[...][None], muhi_ref[...][None])
         o_ref[...] = jnp.swapaxes(modp.mod_u32(y, p, mu), 0, 1)
 
     return kernel
@@ -933,14 +1015,20 @@ def _inv_call(n: int, bt: int, interpret: bool):
     t = tables(n)
     n1, n2 = t["n1"], t["n2"]
     tab_arrays, rebuild = _flatten_tabs(t["w2i"], t["w1i"])
-    kernel = _make_inv_kernel(bt, n1, n2, rebuild)
+    scal3d = bt % 8 != 0
+    kernel = _make_inv_kernel(bt, n1, n2, rebuild, scal3d)
     tab_specs = [pl.BlockSpec(a.shape, _const2) for a in tab_arrays]
 
     @jax.jit
     def call(xlo, xhi, p, mu_lo, mu_hi, twlo, twhi, *tabs):
         bsz = xlo.shape[0]
-        # per-transform p/mu as lane-replicated [B, n2] (see kernel note)
-        scal = pl.BlockSpec((bt, n2), lambda i: (i, 0))
+        # per-transform p/mu, lane-replicated (see kernel note): 2D [B, n2]
+        # blocks when bt is sublane-aligned, else 3D [B, 1, n2]
+        if scal3d:
+            p, mu_lo, mu_hi = (p[:, None], mu_lo[:, None], mu_hi[:, None])
+            scal = pl.BlockSpec((bt, 1, n2), lambda i: (i, 0, 0))
+        else:
+            scal = pl.BlockSpec((bt, n2), lambda i: (i, 0))
         out = pl.pallas_call(
             kernel,
             grid=(bsz // bt,),
