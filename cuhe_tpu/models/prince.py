@@ -283,7 +283,14 @@ class Prince:
 
         def products(state, tb):
             # c2n + six pairwise products; outputs the relin input pair,
-            # the other-products pair and the CRT-domain abcd stack
+            # the other-products pair and the CRT-domain abcd stack.
+            # The operands are concatenated BEFORE one batched mul_modp:
+            # concatenating mul_modp outputs in the same XLA program as the
+            # forward-NTT Pallas call faults the TPU worker at shallow-level
+            # shapes (pnum<=3; r4 KAT layer-11 crash, root-caused by
+            # scripts/tpu_probe_products22.py), while concats of the Pallas
+            # outputs themselves are fine.  Elementwise mul is
+            # order-invariant so this is bit-exact.
             abcd = jnp.stack([state[0::4], state[1::4], state[2::4],
                               state[3::4]])  # [4, 16, pn, clen]
             nt = o0["c2n"](abcd, tb)
@@ -291,15 +298,14 @@ class Prince:
             B = (nt[0][1], nt[1][1])
             C = (nt[0][2], nt[1][2])
             D = (nt[0][3], nt[1][3])
-            prods = {"ab": mul(A, B), "ac": mul(A, C), "ad": mul(A, D),
-                     "bc": mul(B, C), "bd": mul(B, D), "cd": mul(C, D)}
-            rl_in = (jnp.concatenate([prods["ab"][0], prods["cd"][0]]),
-                     jnp.concatenate([prods["ab"][1], prods["cd"][1]]))
-            ot_in = (jnp.concatenate(
-                         [prods[k][0] for k in ("ac", "ad", "bc", "bd")]),
-                     jnp.concatenate(
-                         [prods[k][1] for k in ("ac", "ad", "bc", "bd")]))
-            return rl_in[0], rl_in[1], ot_in[0], ot_in[1], abcd
+            # rows: [ab, cd | ac, ad, bc, bd], 16 planes each
+            u = (jnp.concatenate([A[0], C[0], A[0], A[0], B[0], B[0]]),
+                 jnp.concatenate([A[1], C[1], A[1], A[1], B[1], B[1]]))
+            v = (jnp.concatenate([B[0], D[0], C[0], D[0], C[0], D[0]]),
+                 jnp.concatenate([B[1], D[1], C[1], D[1], C[1], D[1]]))
+            prod = mul(u, v)
+            return (prod[0][:32], prod[1][:32],
+                    prod[0][32:], prod[1][32:], abcd)
 
         def relin_prod0(rl_lo, rl_hi, tb):
             return o0["raw_of_prod"]((rl_lo, rl_hi), tb)
@@ -335,6 +341,9 @@ class Prince:
             return outs, six
 
         def cubic_products(six, tb):
+            # same operand-concat-first restructure as `products` (the
+            # concat-of-mul-outputs + Pallas-call pattern faults the TPU
+            # worker at shallow levels, scripts/tpu_probe_products22.py)
             nt6 = o1["c2n"](six, tb)
             A1 = (nt6[0][0:16], nt6[1][0:16])
             B1 = (nt6[0][16:32], nt6[1][16:32])
@@ -342,12 +351,12 @@ class Prince:
             D1 = (nt6[0][48:64], nt6[1][48:64])
             AB1 = (nt6[0][64:80], nt6[1][64:80])
             CD1 = (nt6[0][80:96], nt6[1][80:96])
-            abd = mul(AB1, D1)
-            acd = mul(CD1, A1)
-            bcd = mul(CD1, B1)
-            abc = mul(AB1, C1)
-            cubic = (jnp.concatenate([abd[0], acd[0], bcd[0], abc[0]]),
-                     jnp.concatenate([abd[1], acd[1], bcd[1], abc[1]]))
+            # rows: [abd, acd, bcd, abc]
+            u = (jnp.concatenate([AB1[0], CD1[0], CD1[0], AB1[0]]),
+                 jnp.concatenate([AB1[1], CD1[1], CD1[1], AB1[1]]))
+            v = (jnp.concatenate([D1[0], A1[0], B1[0], C1[0]]),
+                 jnp.concatenate([D1[1], A1[1], B1[1], C1[1]]))
+            cubic = mul(u, v)
             return o1["n2c_prod"](cubic, tb)
 
         def xor_cubic_raw(outs, cub_c, tb):
