@@ -281,23 +281,26 @@ class Prince:
         o1 = self._ops(lvl + 1)
         mul = modp.mul_modp
 
-        def products(state, tb):
-            # c2n + six pairwise products; outputs the relin input pair,
-            # the other-products pair and the CRT-domain abcd stack.
-            # The operands are concatenated BEFORE one batched mul_modp:
-            # concatenating mul_modp outputs in the same XLA program as the
-            # forward-NTT Pallas call faults the TPU worker at shallow-level
-            # shapes (pnum<=3; r4 KAT layer-11 crash, root-caused by
-            # scripts/tpu_probe_products22.py), while concats of the Pallas
-            # outputs themselves are fine.  Elementwise mul is
-            # order-invariant so this is bit-exact.
+        # The pairwise-product computation is split across TWO jits:
+        # mixing the concat-of-products pattern with a Pallas call in one
+        # XLA program faults the TPU worker at shallow-level shapes in a
+        # shape-dependent way (pnum 3 with per-pair muls, pnum 5 even with
+        # the batched-mul form; r4/r5 KAT layer-11 crashes, bisected in
+        # scripts/tpu_probe_products22.py).  A Pallas-only stage (stack +
+        # forward NTT) followed by a Pallas-free stage (operand concat +
+        # one batched mul) is the combination proven clean on-device at
+        # pnum 3 and 5.  Elementwise mul is order-invariant => bit-exact.
+        def c2n_abcd(state, tb):
             abcd = jnp.stack([state[0::4], state[1::4], state[2::4],
                               state[3::4]])  # [4, 16, pn, clen]
             nt = o0["c2n"](abcd, tb)
-            A = (nt[0][0], nt[1][0])
-            B = (nt[0][1], nt[1][1])
-            C = (nt[0][2], nt[1][2])
-            D = (nt[0][3], nt[1][3])
+            return nt[0], nt[1], abcd
+
+        def pairwise(nt_lo, nt_hi, tb):
+            A = (nt_lo[0], nt_hi[0])
+            B = (nt_lo[1], nt_hi[1])
+            C = (nt_lo[2], nt_hi[2])
+            D = (nt_lo[3], nt_hi[3])
             # rows: [ab, cd | ac, ad, bc, bd], 16 planes each
             u = (jnp.concatenate([A[0], C[0], A[0], A[0], B[0], B[0]]),
                  jnp.concatenate([A[1], C[1], A[1], A[1], B[1], B[1]]))
@@ -305,7 +308,7 @@ class Prince:
                  jnp.concatenate([B[1], D[1], C[1], D[1], C[1], D[1]]))
             prod = mul(u, v)
             return (prod[0][:32], prod[1][:32],
-                    prod[0][32:], prod[1][32:], abcd)
+                    prod[0][32:], prod[1][32:])
 
         def relin_prod0(rl_lo, rl_hi, tb):
             return o0["raw_of_prod"]((rl_lo, rl_hi), tb)
@@ -340,24 +343,28 @@ class Prince:
             six = jnp.concatenate([a1, b1, c1, d1, ab1, cd1])
             return outs, six
 
-        def cubic_products(six, tb):
-            # same operand-concat-first restructure as `products` (the
-            # concat-of-mul-outputs + Pallas-call pattern faults the TPU
-            # worker at shallow levels, scripts/tpu_probe_products22.py)
-            nt6 = o1["c2n"](six, tb)
-            A1 = (nt6[0][0:16], nt6[1][0:16])
-            B1 = (nt6[0][16:32], nt6[1][16:32])
-            C1 = (nt6[0][32:48], nt6[1][32:48])
-            D1 = (nt6[0][48:64], nt6[1][48:64])
-            AB1 = (nt6[0][64:80], nt6[1][64:80])
-            CD1 = (nt6[0][80:96], nt6[1][80:96])
+        # cubic products: same Pallas / concat+mul separation as
+        # c2n_abcd / pairwise (see the comment above)
+        def cubic_c2n(six, tb):
+            lo, hi = o1["c2n"](six, tb)
+            return lo, hi
+
+        def cubic_mul(nt_lo, nt_hi, tb):
+            A1 = (nt_lo[0:16], nt_hi[0:16])
+            B1 = (nt_lo[16:32], nt_hi[16:32])
+            C1 = (nt_lo[32:48], nt_hi[32:48])
+            D1 = (nt_lo[48:64], nt_hi[48:64])
+            AB1 = (nt_lo[64:80], nt_hi[64:80])
+            CD1 = (nt_lo[80:96], nt_hi[80:96])
             # rows: [abd, acd, bcd, abc]
             u = (jnp.concatenate([AB1[0], CD1[0], CD1[0], AB1[0]]),
                  jnp.concatenate([AB1[1], CD1[1], CD1[1], AB1[1]]))
             v = (jnp.concatenate([D1[0], A1[0], B1[0], C1[0]]),
                  jnp.concatenate([D1[1], A1[1], B1[1], C1[1]]))
-            cubic = mul(u, v)
-            return o1["n2c_prod"](cubic, tb)
+            return mul(u, v)
+
+        def cubic_n2c(cub_lo, cub_hi, tb):
+            return o1["n2c_prod"]((cub_lo, cub_hi), tb)
 
         def xor_cubic_raw(outs, cub_c, tb):
             abd_c, acd_c, bcd_c, abc_c = (cub_c[0:16], cub_c[16:32],
@@ -388,10 +395,12 @@ class Prince:
             res = jnp.stack([out0, out1, out2, out3], axis=1)
             return res.reshape((64,) + res.shape[2:])
 
-        return [("products", products), ("relin_prod0", relin_prod0),
+        return [("c2n_abcd", c2n_abcd), ("pairwise", pairwise),
+                ("relin_prod0", relin_prod0),
                 ("relin_main0", relin_main0), ("reduce_others", reduce_others),
                 ("switch_and_xor", switch_and_xor),
-                ("cubic_products", cubic_products),
+                ("cubic_c2n", cubic_c2n), ("cubic_mul", cubic_mul),
+                ("cubic_n2c", cubic_n2c),
                 ("xor_cubic_raw", xor_cubic_raw),
                 ("relin_main1", relin_main1), ("switch_final", switch_final)]
 
@@ -420,12 +429,15 @@ class Prince:
                 return run
 
             fns[nm] = timed()
-        rl_lo, rl_hi, ot_lo, ot_hi, abcd = fns["products"](state, tb)
+        nt_lo, nt_hi, abcd = fns["c2n_abcd"](state, tb)
+        rl_lo, rl_hi, ot_lo, ot_hi = fns["pairwise"](nt_lo, nt_hi, tb)
         raw0 = fns["relin_prod0"](rl_lo, rl_hi, tb)
         rl = fns["relin_main0"](raw0, tb)
         ot_c = fns["reduce_others"](ot_lo, ot_hi, tb)
         outs, six = fns["switch_and_xor"](rl, ot_c, abcd, tb)
-        cub_c = fns["cubic_products"](six, tb)
+        nt6_lo, nt6_hi = fns["cubic_c2n"](six, tb)
+        cub_lo, cub_hi = fns["cubic_mul"](nt6_lo, nt6_hi, tb)
+        cub_c = fns["cubic_n2c"](cub_lo, cub_hi, tb)
         raw1 = fns["xor_cubic_raw"](outs, cub_c, tb)
         outs2 = fns["relin_main1"](raw1, tb)
         return fns["switch_final"](outs2, tb)

@@ -41,7 +41,7 @@ def main():
                          dtype=np.uint64).astype(np.uint32)
     ctx.set_eval_keys(ek_lo, ek_hi)
     p = pr_mod.Prince(dhs=SimpleNamespace(ctx=ctx))
-    lvl = 22
+    lvl = int(sys.argv[1]) if len(sys.argv) > 1 else 22
     pn = params.num_crt_prime_lvl(lvl)
     ps = np.array(params.crt_primes[:pn], dtype=np.uint64)
     state = (rng.integers(0, 1 << 62, size=(64, pn, params.crt_len),
@@ -57,8 +57,10 @@ def main():
         log(f"stage {name}: ok ({time.time() - t0:.0f}s)")
 
     t0 = time.time()
-    rl_lo, rl_hi, ot_lo, ot_hi, abcd = fns["products"](jnp.asarray(state), tb)
-    fetch("products", rl_lo)
+    nt_lo, nt_hi, abcd = fns["c2n_abcd"](jnp.asarray(state), tb)
+    fetch("c2n_abcd", nt_lo)
+    rl_lo, rl_hi, ot_lo, ot_hi = fns["pairwise"](nt_lo, nt_hi, tb)
+    fetch("pairwise", rl_lo)
     raw0 = fns["relin_prod0"](rl_lo, rl_hi, tb)
     fetch("relin_prod0", raw0)
     rl = fns["relin_main0"](raw0, tb)
@@ -67,8 +69,12 @@ def main():
     fetch("reduce_others", ot_c)
     outs, six = fns["switch_and_xor"](rl, ot_c, abcd, tb)
     fetch("switch_and_xor", outs)
-    cub_c = fns["cubic_products"](six, tb)
-    fetch("cubic_products", cub_c)
+    nt6_lo, nt6_hi = fns["cubic_c2n"](six, tb)
+    fetch("cubic_c2n", nt6_lo)
+    cub_lo, cub_hi = fns["cubic_mul"](nt6_lo, nt6_hi, tb)
+    fetch("cubic_mul", cub_lo)
+    cub_c = fns["cubic_n2c"](cub_lo, cub_hi, tb)
+    fetch("cubic_n2c", cub_c)
     raw1 = fns["xor_cubic_raw"](outs, cub_c, tb)
     fetch("xor_cubic_raw", raw1)
     outs2 = fns["relin_main1"](raw1, tb)
